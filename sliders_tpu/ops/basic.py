@@ -1,0 +1,178 @@
+"""Functional compute primitives with LoRA hooks.
+
+Param layout conventions (chosen TPU-first, transposed ONCE at weight
+conversion from the torch layouts):
+  - linear: ``weight`` (in, out), optional ``bias`` (out,)
+  - conv2d: ``weight`` (kh, kw, in, out) [HWIO], optional ``bias`` (out,)
+  - activations are NHWC so channels land on the TPU lane dimension.
+
+Every linear/conv call site takes an optional ``(lora, name)`` pair; when the
+name is present in the LoRA pytree the low-rank branch
+``out += multiplier * (alpha/rank) * up(down(x))`` is added — the functional
+equivalent of the reference's forward monkey-patching
+(trainscripts/textsliders/lora.py:103-112), with the slider multiplier a
+traced scalar so that scale 0 (slider off) and ±s share one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SliderLora:
+    """LoRA adapter pytree + the slider multiplier.
+
+    ``weights``: {lora_name: {'down', 'up', 'alpha'}} where lora_name follows
+    the reference convention ``lora_unet_<module path with '_'>``
+    (lora.py:206-207). ``multiplier`` is the (traced) slider scale; the
+    reference's ``with network:`` context is ``multiplier=s`` vs ``0``.
+    """
+
+    weights: dict
+    multiplier: jax.Array
+
+    def with_multiplier(self, m) -> "SliderLora":
+        return self.replace(multiplier=jnp.asarray(m, jnp.float32))
+
+
+def _lora_entry(lora: Optional[SliderLora], name: Optional[str]):
+    if lora is None or name is None:
+        return None
+    return lora.weights.get(name)
+
+
+def linear(
+    p: dict,
+    x: jax.Array,
+    *,
+    lora: Optional[SliderLora] = None,
+    name: Optional[str] = None,
+) -> jax.Array:
+    """y = x @ W (+ b) (+ LoRA branch). W stored (in, out)."""
+    w = p["weight"]
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    entry = _lora_entry(lora, name)
+    if entry is not None:
+        down, up = entry["down"], entry["up"]
+        rank = down.shape[-1]
+        scale = (lora.multiplier * entry["alpha"] / rank).astype(x.dtype)
+        y = y + (x @ down.astype(x.dtype)) @ up.astype(x.dtype) * scale
+    return y
+
+
+def conv2d(
+    p: dict,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding="SAME",
+    lora: Optional[SliderLora] = None,
+    name: Optional[str] = None,
+) -> jax.Array:
+    """NHWC conv with HWIO kernel (+ LoRA conv branch).
+
+    LoRA conv follows the reference (lora.py:85-88): down has the same
+    kernel/stride/padding as the base conv, up is 1x1.
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    strides = (stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    entry = _lora_entry(lora, name)
+    if entry is not None:
+        down, up = entry["down"], entry["up"]
+        rank = down.shape[-1]
+        scale = (lora.multiplier * entry["alpha"] / rank).astype(x.dtype)
+        h = jax.lax.conv_general_dilated(
+            x,
+            down.astype(x.dtype),
+            window_strides=strides,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        h = jax.lax.conv_general_dilated(
+            h,
+            up.astype(x.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + h * scale
+    return y
+
+
+def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over the channel (last) dim of NHWC, f32 statistics."""
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H * W, num_groups, C // num_groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(B, H, W, C).astype(x.dtype)
+    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers `Timesteps` semantics
+    (UNet2DConditionModel: flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = t.astype(jnp.float32)[:, None] * emb[None, :] * scale
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default (erf form), used by OpenCLIP bigG
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {
+    "silu": silu,
+    "quick_gelu": quick_gelu,
+    "gelu": gelu,
+}

@@ -1,14 +1,36 @@
-"""Test env: force CPU with 8 virtual devices BEFORE jax is imported,
-so the parallelism layer (mesh/sharding) is testable without TPU hardware
-(SURVEY.md §4 test strategy)."""
+"""Test env: force CPU with 8 virtual devices so the parallelism layer
+(mesh/sharding) is testable without TPU hardware (SURVEY.md §4).
+
+The runtime image pre-imports jax and registers the TPU backend from a
+sitecustomize hook before conftest runs, so setting JAX_PLATFORMS in
+os.environ is too late — we must update the jax config and clear any
+initialized backends instead."""
 
 import os
 import sys
+
+# keep transformers torch-only and offline (no TF import, no hub access)
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("USE_FLAX", "0")
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (may already be imported by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge
+
+    xla_bridge._clear_backends()
+except Exception:
+    pass
+
+assert jax.default_backend() == "cpu", "tests must run on CPU"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
