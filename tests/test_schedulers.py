@@ -78,7 +78,9 @@ def test_ddim_scan_equals_python_loop():
         return out, None
 
     x_scan, _ = jax.lax.scan(body, x, jnp.arange(10))
-    np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x_loop), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_scan), np.asarray(x_loop), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_v_prediction_consistency():
