@@ -1,0 +1,148 @@
+"""Text-to-image sampling with slider-scale gating.
+
+The reference inference twist (SURVEY.md §3.4; generate_images_xl.py:323-362
+and the open-coded SD1 loop in generate_images_sd1.py:129-211): a stock
+denoising loop where (a) the LoRA multiplier is the user's slider scale and
+(b) the slider is OFF for early timesteps (t > start_noise) to preserve
+structure.
+
+TPU re-design: the whole sampling loop is one `lax.scan`; the gating is a
+`jnp.where` on the traced timestep (branch-free), and the slider scale is a
+traced scalar — a single compiled program serves every (scale, start_noise)
+pair and every checkpoint of the same rank layout, including SDXL-Turbo
+few-step sampling (num_steps=3, guidance 1 -> no CFG batch doubling,
+demo_SDXL_Turbo.ipynb cell 6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sliders_tpu.diffusion.guidance import cfg_combine, rescale_noise_cfg
+from sliders_tpu.diffusion.schedulers import Sampler
+from sliders_tpu.models import unet2d, vae
+from sliders_tpu.ops.basic import SliderLora
+
+
+def make_sampling_fn(
+    unet_cfg: unet2d.UNetConfig,
+    sampler: Sampler,
+    *,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    compute_dtype=jnp.bfloat16,
+    is_xl: bool = False,
+):
+    """Build a jitted sampling fn:
+
+    fn(unet_params, latents, cond_emb, uncond_emb, lora_weights,
+       slider_scale, start_noise, guidance_scale, key, added_cond) -> latents
+
+    - `latents` are the initial noise * sampler.init_noise_sigma
+    - `lora_weights` may be None (no slider)
+    - `start_noise`: slider is OFF while t > start_noise
+      (generate_images_xl.py:325-328; -1 keeps it always off, 1000 always on)
+    """
+    needs_step_key = sampler.kind in ("ddpm", "euler_a")
+    n = sampler.num_steps
+
+    def fn(
+        unet_params,
+        latents,
+        cond_emb,
+        uncond_emb,
+        lora_weights,
+        slider_scale,
+        start_noise,
+        guidance_scale,
+        key,
+        added_cond: Optional[dict] = None,
+    ):
+        latents = latents.astype(compute_dtype)
+        if use_cfg:
+            ehs = jnp.concatenate([uncond_emb, cond_emb]).astype(compute_dtype)
+            added = (
+                None
+                if added_cond is None
+                else {k: jnp.concatenate([added_cond["uncond_" + k], added_cond[k]]) for k in ("text_embeds", "time_ids")}
+            )
+        else:
+            ehs = cond_emb.astype(compute_dtype)
+            added = (
+                None
+                if added_cond is None
+                else {k: added_cond[k] for k in ("text_embeds", "time_ids")}
+            )
+
+        def body(carry, i):
+            x, s_state = carry
+            t = sampler.timesteps[i]
+            mult = jnp.where(t > start_noise, 0.0, slider_scale)
+            lora = (
+                None
+                if lora_weights is None
+                else SliderLora(weights=lora_weights, multiplier=mult)
+            )
+            x_in = jnp.concatenate([x, x]) if use_cfg else x
+            x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
+            eps = unet2d.apply(
+                unet_params, unet_cfg, x_in, t, ehs, added_cond=added, lora=lora
+            )
+            if use_cfg:
+                eps_text = jnp.split(eps, 2, axis=0)[1]
+                eps = cfg_combine(eps, guidance_scale)
+                if guidance_rescale > 0:
+                    eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            step_key = jax.random.fold_in(key, i) if needs_step_key else None
+            x, s_state = sampler.step(i, eps, x, s_state, key=step_key)
+            return (x.astype(compute_dtype), s_state), None
+
+        (x, _), _ = jax.lax.scan(
+            body, (latents, sampler.init_state(latents)), jnp.arange(n)
+        )
+        return x
+
+    return jax.jit(fn)
+
+
+def initial_latents(key, batch, height, width, init_noise_sigma, channels=4, n_prompts=1):
+    """train_util.get_initial_latents semantics (train_util.py:43-57):
+    noise repeated across prompts, scaled by init_noise_sigma. NHWC."""
+    noise = jax.random.normal(key, (batch, height // 8, width // 8, channels))
+    noise = jnp.tile(noise, (n_prompts, 1, 1, 1))
+    return noise * init_noise_sigma
+
+
+def decode_images(vae_params, vae_cfg: vae.VaeConfig, latents) -> jnp.ndarray:
+    """latents -> uint8 HWC images (applies the scaling factor and the
+    [-1,1]->[0,255] postprocess of the reference pipelines)."""
+    imgs = vae.decode(vae_params, vae_cfg, (latents / vae_cfg.scaling_factor).astype(jnp.float32))
+    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+    return (imgs * 255).astype(jnp.uint8)
+
+
+def get_add_time_ids(
+    height: int,
+    width: int,
+    dynamic_crops: bool = False,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """SDXL micro-conditioning ids (train_util.get_add_time_ids,
+    train_util.py:298-333): (original_size, crop_top_left, target_size)."""
+    if dynamic_crops:
+        if key is None:
+            raise ValueError("dynamic_crops needs a key")
+        k1, k2, k3 = jax.random.split(key, 3)
+        scale = jax.random.uniform(k1, (), minval=1.0, maxval=3.0)
+        oh = jnp.floor(height * scale)
+        ow = jnp.floor(width * scale)
+        top = jnp.floor(jax.random.uniform(k2, (), maxval=1.0) * (oh - height))
+        left = jnp.floor(jax.random.uniform(k3, (), maxval=1.0) * (ow - width))
+        ids = jnp.stack([oh, ow, top, left, jnp.asarray(float(height)), jnp.asarray(float(width))])
+    else:
+        ids = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
+    return ids[None, :]  # (1, 6)
