@@ -24,6 +24,20 @@ from sliders_tpu.lora.network import target_module_paths
 LORA_PREFIX_UNET = "lora_unet"
 
 
+def numpy_precision(precision: str):
+    """Save-precision string -> numpy dtype (bf16 via ml_dtypes)."""
+    if precision in ("fp16", "float16"):
+        return np.float16
+    if precision in ("bf16", "bfloat16"):
+        try:
+            import ml_dtypes
+
+            return ml_dtypes.bfloat16
+        except ImportError:
+            return np.float32
+    return np.float32
+
+
 def _flat_name(module_path: str) -> str:
     return f"{LORA_PREFIX_UNET}_{module_path.replace('.', '_')}"
 

@@ -1,0 +1,149 @@
+"""Model loading from LOCAL HF diffusers snapshot directories.
+
+Equivalent of the reference `model_util.load_models` / `load_models_xl`
+(model_util.py:104-129,200-227) minus hub access: the user points at a local
+snapshot (e.g. a pre-downloaded `stable-diffusion-v1-5` directory with
+unet/ text_encoder/ tokenizer/ vae/ subfolders). Weights convert to our
+NHWC/(in,out) layouts (models/convert.py); configs map onto our dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from sliders_tpu.models import clip_text, convert, unet2d, vae
+from sliders_tpu.text.tokenizer import ClipTokenizer
+
+
+def unet_config_from_hf(cfg: dict) -> unet2d.UNetConfig:
+    heads = cfg.get("num_attention_heads") or cfg["attention_head_dim"]
+    n_blocks = len(cfg["block_out_channels"])
+    if isinstance(heads, int):
+        heads = (heads,) * n_blocks
+    tl = cfg.get("transformer_layers_per_block", 1)
+    if isinstance(tl, int):
+        tl = (tl,) * n_blocks
+    return unet2d.UNetConfig(
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        down_block_types=tuple(cfg["down_block_types"]),
+        up_block_types=tuple(cfg["up_block_types"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        cross_attention_dim=cfg.get("cross_attention_dim", 768),
+        num_attention_heads=tuple(heads),
+        transformer_layers_per_block=tuple(tl),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        addition_embed_type=cfg.get("addition_embed_type"),
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
+        projection_class_embeddings_input_dim=cfg.get(
+            "projection_class_embeddings_input_dim"
+        ),
+    )
+
+
+def clip_config_from_hf(cfg: dict) -> clip_text.ClipTextConfig:
+    eos = cfg.get("eos_token_id", 2)
+    if eos == 2 and cfg.get("vocab_size", 49408) == 49408:
+        # legacy HF configs say eos=2 and rely on argmax pooling; the real
+        # CLIP EOS/pad id is 49407 (first occurrence == argmax position)
+        eos = 49407
+    return clip_text.ClipTextConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        intermediate_size=cfg["intermediate_size"],
+        max_positions=cfg.get("max_position_embeddings", 77),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        eos_token_id=eos,
+        projection_dim=cfg.get("projection_dim"),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+    )
+
+
+def vae_config_from_hf(cfg: dict) -> vae.VaeConfig:
+    return vae.VaeConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+@dataclass
+class TextEncoderBundle:
+    tokenizer: ClipTokenizer
+    params: dict
+    config: clip_text.ClipTextConfig
+    clip_skip_layers: Optional[int] = None  # override for apply(num_layers=...)
+
+
+@dataclass
+class SDModels:
+    unet_params: dict
+    unet_config: unet2d.UNetConfig
+    text_encoders: list  # 1 for SD, 2 for SDXL
+    vae_params: Optional[dict] = None
+    vae_config: Optional[vae.VaeConfig] = None
+    is_xl: bool = False
+
+
+def _load_te(model_dir, te_sub, tok_sub, dtype, pad_token_id=None, clip_skip=None):
+    cfg = clip_config_from_hf(convert.load_component_config(model_dir, te_sub))
+    params = convert.cast_tree(convert.load_component(model_dir, te_sub), dtype)
+    tokenizer = ClipTokenizer.from_pretrained(
+        os.path.join(model_dir, tok_sub), pad_token_id=pad_token_id
+    )
+    tokenizer.model_max_length = cfg.max_positions
+    layers = None
+    if clip_skip is not None:
+        # reference semantics: clip_skip k -> keep num_layers - (k - 1)
+        layers = cfg.num_layers - (clip_skip - 1)
+    return TextEncoderBundle(tokenizer, params, cfg, layers)
+
+
+def load_sd(
+    model_dir: str,
+    *,
+    v2: bool = False,
+    clip_skip: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    load_vae: bool = False,
+) -> SDModels:
+    """SD1.x / SD2.x loading (model_util.load_models equivalent). `v2` only
+    affects defaults the HF config already encodes; clip_skip truncates the
+    text encoder like model_util.py:48,62 (v2 default is clip_skip 2)."""
+    if clip_skip is None and v2:
+        clip_skip = 2
+    unet_cfg = unet_config_from_hf(convert.load_component_config(model_dir, "unet"))
+    unet_params = convert.cast_tree(convert.load_component(model_dir, "unet"), dtype)
+    te = _load_te(model_dir, "text_encoder", "tokenizer", dtype, clip_skip=clip_skip)
+    bundle = SDModels(unet_params, unet_cfg, [te], is_xl=False)
+    if load_vae:
+        bundle.vae_config = vae_config_from_hf(convert.load_component_config(model_dir, "vae"))
+        bundle.vae_params = convert.cast_tree(convert.load_component(model_dir, "vae"), dtype)
+    return bundle
+
+
+def load_sdxl(model_dir: str, *, dtype=jnp.bfloat16, load_vae: bool = False) -> SDModels:
+    """SDXL loading (model_util.load_models_xl equivalent): two text
+    encoders, tokenizer_2 padded with 0 (model_util.py:150)."""
+    unet_cfg = unet_config_from_hf(convert.load_component_config(model_dir, "unet"))
+    unet_params = convert.cast_tree(convert.load_component(model_dir, "unet"), dtype)
+    te1 = _load_te(model_dir, "text_encoder", "tokenizer", dtype)
+    te2 = _load_te(model_dir, "text_encoder_2", "tokenizer_2", dtype, pad_token_id=0)
+    bundle = SDModels(unet_params, unet_cfg, [te1, te2], is_xl=True)
+    if load_vae:
+        bundle.vae_config = vae_config_from_hf(convert.load_component_config(model_dir, "vae"))
+        bundle.vae_params = convert.cast_tree(convert.load_component(model_dir, "vae"), dtype)
+    return bundle

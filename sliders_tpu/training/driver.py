@@ -1,0 +1,257 @@
+"""Host-side training orchestration (the reference `train()` loop,
+train_lora.py:32-340 / train_lora_xl.py, re-designed around one jitted step).
+
+Adds what the reference lacks (SURVEY.md §5): full train-state
+checkpoint/resume (optimizer state included), run-metadata JSON sidecar,
+step timing, and NaN guarding — while keeping the reference's observable
+behavior: prompt-embedding cache, periodic slider saves named
+`{name}_{i}steps.{ext}` and `{name}_last.{ext}`, stdout/wandb metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sliders_tpu.core.config import RootConfig
+from sliders_tpu.diffusion import make_sampler, make_schedule
+from sliders_tpu.lora import io as lora_io
+from sliders_tpu.lora import network as lnet
+from sliders_tpu.models.loader import SDModels
+from sliders_tpu.pipelines import text2image as t2i
+from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
+from sliders_tpu.prompts import PromptSettings
+from sliders_tpu.training import optimizers as opt_factory
+from sliders_tpu.training.text_slider import (
+    SliderTrainState,
+    make_text_slider_step,
+    stack_prompt_pairs,
+)
+
+
+class PromptEmbedsCache:
+    """Encode each unique prompt once (reference PromptEmbedsCache,
+    prompt_util.py:31-41 + train_lora.py:109-146)."""
+
+    def __init__(self, models: SDModels):
+        self.models = models
+        self._cache: dict[str, object] = {}
+
+    def __getitem__(self, prompt: str):
+        if prompt not in self._cache:
+            m = self.models
+            if m.is_xl:
+                text, pooled = encode_prompts_xl(
+                    [te.tokenizer for te in m.text_encoders],
+                    [te.params for te in m.text_encoders],
+                    [te.config for te in m.text_encoders],
+                    [prompt],
+                )
+                self._cache[prompt] = (text[0], pooled[0])
+            else:
+                te = m.text_encoders[0]
+                emb = encode_prompts(
+                    te.tokenizer, te.params, te.config, [prompt],
+                    num_layers=te.clip_skip_layers,
+                )
+                self._cache[prompt] = emb[0]
+        return self._cache[prompt]
+
+
+def build_pairs(settings: list[PromptSettings], cache: PromptEmbedsCache, is_xl: bool):
+    """PromptSettings -> stacked embedding pytree for the jitted step.
+    erase folds into the guidance sign (erase == enhance at −g)."""
+    pairs = []
+    for s in settings:
+        sign = 1.0 if s.action == "enhance" else -1.0
+        pair = {"guidance_signed": jnp.asarray(sign * s.guidance_scale, jnp.float32)}
+        for k, prompt in (
+            ("target", s.target),
+            ("positive", s.positive),
+            ("neutral", s.neutral),
+            ("unconditional", s.unconditional),
+        ):
+            e = cache[prompt]
+            if is_xl:
+                pair[k] = e[0]
+                pair[f"pooled_{k}"] = e[1]
+            else:
+                pair[k] = e
+        if is_xl:
+            pair["time_ids"] = t2i.get_add_time_ids(s.resolution, s.resolution)[0]
+        pairs.append(pair)
+    return stack_prompt_pairs(pairs)
+
+
+def _state_bytes(state) -> bytes:
+    from flax import serialization
+
+    # typed PRNG keys are not serializable; store the raw key data
+    host = jax.device_get(state.replace(key=jax.random.key_data(state.key)))
+    return serialization.to_bytes(host)
+
+
+def _state_from_bytes(template, data: bytes):
+    from flax import serialization
+
+    tmpl = template.replace(key=jax.random.key_data(template.key))
+    restored = serialization.from_bytes(tmpl, data)
+    return restored.replace(key=jax.random.wrap_key_data(jnp.asarray(restored.key)))
+
+
+def train_text_sliders(
+    config: RootConfig,
+    prompts: list[PromptSettings],
+    models: SDModels,
+    *,
+    mesh=None,
+    resume_from: Optional[str] = None,
+    seed: int = 0,
+    on_step=None,
+) -> dict:
+    """Run the text-slider training loop; returns the final LoRA weights."""
+    tpu = config.tpu
+    save_dir = Path(config.save.path)
+    ext = ".safetensors" if config.save.format == "safetensors" else ".pt"
+
+    # all pairs must share a resolution/batch bucket per compiled step;
+    # group and round-robin buckets (reference samples uniformly over pairs)
+    buckets: dict[tuple, list[PromptSettings]] = {}
+    for s in prompts:
+        buckets.setdefault((s.resolution, s.batch_size), []).append(s)
+
+    cache = PromptEmbedsCache(models)
+    compute_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                     "fp16": jnp.float16, "float16": jnp.float16}.get(
+        config.train.precision, jnp.float32
+    )
+
+    schedule = make_schedule(
+        prediction_type="v_prediction" if config.pretrained_model.v_pred else "epsilon"
+    )
+    sampler = make_sampler(
+        schedule, config.train.noise_scheduler, config.train.max_denoising_steps
+    )
+
+    lora = lnet.create_slider_network(
+        jax.random.key(seed + 1),
+        models.unet_params,
+        rank=config.network.rank,
+        alpha=config.network.alpha,
+        train_method=config.network.training_method,
+        network_type=config.network.type,
+        dtype=jnp.float32,  # master LoRA weights in f32; compute casts
+    )
+    print(f"create LoRA for U-Net: {len(lora)} modules.")
+
+    lr_schedule = opt_factory.make_lr_schedule(
+        config.train.lr_scheduler, config.train.lr, config.train.iterations
+    )
+    optimizer = opt_factory.make_optimizer(
+        config.train.optimizer,
+        lr_schedule,
+        opt_factory.parse_optimizer_args(config.train.optimizer_args),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+
+    n_dp = 1 if mesh is None else mesh.shape["dp"]
+    steps = {}
+    bucket_pairs = {}
+    for key_, settings in buckets.items():
+        resolution, batch = key_
+        steps[key_] = make_text_slider_step(
+            models.unet_config, schedule, sampler, optimizer,
+            max_denoising_steps=config.train.max_denoising_steps,
+            resolution=resolution,
+            batch_size=batch * max(tpu.per_device_batch, 1) * n_dp,
+            compute_dtype=compute_dtype,
+            remat=tpu.remat,
+            mesh=mesh,
+            is_xl=models.is_xl,
+            donate=tpu.donate,
+        )
+        bucket_pairs[key_] = build_pairs(settings, cache, models.is_xl)
+
+    state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
+    if resume_from is not None:
+        with open(resume_from, "rb") as f:
+            state = _state_from_bytes(state, f.read())
+        print(f"resumed from {resume_from} at step {int(state.step)}")
+
+    metadata = {
+        "prompts": [p.model_dump() for p in prompts],
+        "config": json.loads(config.model_dump_json()),
+    }
+    save_dir.mkdir(parents=True, exist_ok=True)
+    with open(save_dir / f"{config.save.name}_metadata.json", "w") as f:
+        json.dump(metadata, f, indent=2)
+
+    if config.logging.use_wandb:
+        import wandb
+
+        wandb.init(project=f"LECO_{config.save.name}", config=metadata)
+
+    if tpu.profile_dir:
+        jax.profiler.start_trace(tpu.profile_dir)
+
+    bucket_keys = list(steps.keys())
+    host_rng = np.random.default_rng(seed)
+    t_last = time.perf_counter()
+
+    start = int(state.step)
+    for i in range(start, config.train.iterations):
+        bk = bucket_keys[host_rng.integers(len(bucket_keys))] if len(bucket_keys) > 1 else bucket_keys[0]
+        state, metrics = steps[bk](state, models.unet_params, bucket_pairs[bk])
+
+        if tpu.nan_check and not np.isfinite(float(metrics["loss"])):
+            raise FloatingPointError(f"non-finite loss at step {i}: {metrics}")
+
+        if i % config.logging.log_every == 0 or i == config.train.iterations - 1:
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            print(
+                f"step {i}: loss*1k={loss * 1000:.4f} t_to={int(metrics['t_to'])} "
+                f"pair={int(metrics['pair'])} ({dt:.2f}s since last log)"
+            )
+            if config.logging.use_wandb:
+                import wandb
+
+                wandb.log({"loss": loss, "iteration": i, "lr": float(lr_schedule(i))})
+        if on_step is not None:
+            on_step(i, state, metrics)
+
+        if (
+            i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            print("Saving...")
+            lora_io.save_slider(
+                str(save_dir / f"{config.save.name}_{i}steps{ext}"),
+                jax.device_get(state.lora),
+                dtype=lora_io.numpy_precision(config.save.precision),
+            )
+
+        if tpu.state_checkpoint_every and i % tpu.state_checkpoint_every == 0 and i != 0:
+            with open(save_dir / f"{config.save.name}_trainstate.msgpack", "wb") as f:
+                f.write(_state_bytes(state))
+
+    if tpu.profile_dir:
+        jax.profiler.stop_trace()
+
+    print("Saving...")
+    lora_io.save_slider(
+        str(save_dir / f"{config.save.name}_last{ext}"),
+        jax.device_get(state.lora),
+        dtype=lora_io.numpy_precision(config.save.precision),
+    )
+    print("Done.")
+    return jax.device_get(state.lora)
