@@ -1,0 +1,195 @@
+"""Train an image slider from paired before/after folders — CLI-compatible
+with the reference (train_lora-scale.py:376-501 / train_lora-scale-xl.py):
+`--name ... --rank 4 --alpha 1 --config_file ... --folder_main ...
+--folders 'bigsize,smallsize' --scales '1,-1' [--xl] [--stylecheck]`.
+
+Training resolution follows the reference scripts: 256 for SD1, 512 for XL
+(train_lora-scale.py:219, train_lora-scale-xl.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+from sliders_tpu.core import config as config_util
+from sliders_tpu.data.paired_images import PairedImageFolders, parse_folder_args
+from sliders_tpu.models import loader
+from sliders_tpu.prompts import load_prompts_from_yaml
+
+
+def train_one(config, prompts, models, folder_main, folders, scales, resolution, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from pathlib import Path
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.pipelines import text2image as t2i
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.driver import PromptEmbedsCache
+    from sliders_tpu.training.image_slider import make_image_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState
+
+    dataset = PairedImageFolders(folder_main, folders, scales)
+    cache = PromptEmbedsCache(models)
+    settings = prompts[0]  # reference samples one prompt set per run
+
+    schedule = make_schedule(
+        prediction_type="v_prediction" if config.pretrained_model.v_pred else "epsilon"
+    )
+    sampler = make_sampler(
+        schedule, config.train.noise_scheduler, config.train.max_denoising_steps
+    )
+    # image sliders use kaiming a=sqrt(5) down-init (imagesliders/lora.py:96)
+    lora = lnet.create_slider_network(
+        jax.random.key(seed + 1),
+        models.unet_params,
+        rank=config.network.rank,
+        alpha=config.network.alpha,
+        train_method=config.network.training_method,
+        network_type=config.network.type,
+        init_a=math.sqrt(5),
+    )
+    print(f"create LoRA for U-Net: {len(lora)} modules.")
+    optimizer = opt_factory.make_optimizer(
+        config.train.optimizer,
+        opt_factory.make_lr_schedule(
+            config.train.lr_scheduler, config.train.lr, config.train.iterations
+        ),
+        opt_factory.parse_optimizer_args(config.train.optimizer_args),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    compute_dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
+    step = make_image_slider_step(
+        models.unet_config, models.vae_config, schedule, sampler, optimizer,
+        max_denoising_steps=config.train.max_denoising_steps,
+        compute_dtype=compute_dtype,
+        remat=config.tpu.remat,
+        is_xl=models.is_xl,
+        donate=config.tpu.donate,
+    )
+    state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
+
+    def emb(prompt):
+        e = cache[prompt]
+        return e if not models.is_xl else e
+
+    batch_static = {}
+    for k, prompt in (
+        ("positive", settings.positive),
+        ("neutral", settings.neutral),
+        ("unconditional", settings.unconditional),
+    ):
+        e = cache[prompt]
+        if models.is_xl:
+            batch_static[k] = e[0]
+            batch_static[f"pooled_{k}"] = e[1]
+        else:
+            batch_static[k] = e
+    if models.is_xl:
+        batch_static["time_ids"] = t2i.get_add_time_ids(resolution, resolution)[0]
+
+    host_rng = np.random.default_rng(seed)
+    save_dir = Path(config.save.path)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    ext = ".safetensors" if config.save.format == "safetensors" else ".pt"
+
+    for i in range(config.train.iterations):
+        s, lo, hi = dataset.sample_pair(host_rng, resolution)
+        batch = dict(
+            batch_static,
+            images_low=jnp.asarray(lo)[None],
+            images_high=jnp.asarray(hi)[None],
+            scale=jnp.asarray(s, jnp.float32),
+        )
+        state, metrics = step(state, models.unet_params, models.vae_params, batch)
+        if i % config.logging.log_every == 0:
+            print(f"step {i}: loss*1k={float(metrics['loss']) * 1000:.4f} scale={s}")
+        if i % config.save.per_steps == 0 and i != 0 and i != config.train.iterations - 1:
+            print("Saving...")
+            lora_io.save_slider(
+                str(save_dir / f"{config.save.name}_{i}steps{ext}"),
+                jax.device_get(state.lora),
+            )
+    print("Saving...")
+    lora_io.save_slider(
+        str(save_dir / f"{config.save.name}_last{ext}"), jax.device_get(state.lora)
+    )
+    print("Done.")
+    return jax.device_get(state.lora)
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    attributes = []
+    if args.attributes is not None:
+        attributes = [a.strip() for a in args.attributes.split(",")]
+    if args.rank is not None:
+        config.network.rank = args.rank
+    if args.alpha is not None:
+        config.network.alpha = args.alpha
+    config.save.name += f"_alpha{config.network.alpha}"
+    config.save.name += f"_rank{config.network.rank}"
+    config.save.name += f"_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
+    if args.xl:
+        models = loader.load_sdxl(
+            config.pretrained_model.name_or_path, dtype=dtype, load_vae=True
+        )
+        resolution = args.resolution or 512
+    else:
+        models = loader.load_sd(
+            config.pretrained_model.name_or_path,
+            v2=config.pretrained_model.v2,
+            clip_skip=config.pretrained_model.clip_skip,
+            dtype=dtype,
+            load_vae=True,
+        )
+        resolution = args.resolution or 256
+
+    prompts = load_prompts_from_yaml(config.prompts_file, attributes)
+    folders, scales = parse_folder_args(args.folders, args.scales)
+
+    if args.stylecheck is not None:
+        # reference --stylecheck: iterate numbered style folders
+        # (train_lora-scale.py:408-417)
+        base_name, base_main = config.save.name, args.folder_main
+        for style in os.listdir(base_main):
+            folder_main = os.path.join(base_main, style)
+            config.save.name = f"{style}_{base_name}"
+            train_one(config, prompts, models, folder_main, folders, scales, resolution)
+    else:
+        train_one(config, prompts, models, args.folder_main, folders, scales, resolution)
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--prompts_file", default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--rank", type=int, default=None)
+    p.add_argument("--device", type=int, default=0, help="Ignored (mesh handles placement).")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--attributes", type=str, default=None)
+    p.add_argument("--folder_main", type=str, required=True)
+    p.add_argument("--folders", type=str, default="verylow, low, high, veryhigh")
+    p.add_argument("--scales", type=str, default="-2, -1, 1, 2")
+    p.add_argument("--stylecheck", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=None)
+    p.add_argument("--xl", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

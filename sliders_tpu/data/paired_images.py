@@ -1,0 +1,73 @@
+"""Paired before/after image dataset for image sliders.
+
+The reference's data contract (train_lora-scale.py:211-220): per-scale
+folders under a main folder (`--folders 'bigsize,smallsize' --scales '1,-1'`);
+each iteration picks a scale s, pairs the folder at −s with the folder at +s,
+and samples the SAME filename from both, resized to the train resolution.
+
+Host-side loader (PIL decode/resize is not TPU work); preprocessing matches
+diffusers VaeImageProcessor: [0,255] -> [-1,1], NHWC float32.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp")
+
+
+def preprocess_image(img, resolution: int) -> np.ndarray:
+    """PIL image -> (H, W, 3) float32 in [-1, 1]."""
+    from PIL import Image
+
+    img = img.convert("RGB").resize((resolution, resolution), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr * 2.0 - 1.0
+
+
+@dataclass
+class PairedImageFolders:
+    folder_main: str
+    folders: list[str]  # aligned with scales
+    scales: list[float]
+
+    def __post_init__(self):
+        if len(self.folders) != len(self.scales):
+            raise ValueError("folders and scales must align")
+        self.scales_unique = sorted({abs(s) for s in self.scales if s != 0})
+        self._by_scale = {s: f for s, f in zip(self.scales, self.folders)}
+        for s in self.scales_unique:
+            if s not in self._by_scale or -s not in self._by_scale:
+                raise ValueError(f"need folders for both +{s} and -{s}")
+
+    def filenames(self, scale: float) -> list[str]:
+        d = os.path.join(self.folder_main, self._by_scale[scale])
+        return sorted(
+            f for f in os.listdir(d) if f.lower().endswith(IMAGE_EXTS)
+        )
+
+    def sample_pair(self, rng: np.random.Generator, resolution: int):
+        """Returns (scale, low_image, high_image) — same filename from the
+        −scale and +scale folders."""
+        from PIL import Image
+
+        s = float(rng.choice(self.scales_unique))
+        names = self.filenames(-s)
+        name = names[int(rng.integers(len(names)))]
+        lo = Image.open(os.path.join(self.folder_main, self._by_scale[-s], name))
+        hi = Image.open(os.path.join(self.folder_main, self._by_scale[s], name))
+        return s, preprocess_image(lo, resolution), preprocess_image(hi, resolution)
+
+
+def parse_folder_args(folders: str, scales: str) -> tuple[list[str], list[float]]:
+    """Reference CLI format: comma-separated strings
+    (train_lora-scale.py:420-443)."""
+    fs = [f.strip() for f in folders.split(",")]
+    ss = [float(s.strip()) for s in scales.split(",")]
+    if len(fs) != len(ss):
+        raise ValueError("the number of folders need to match the number of scales")
+    return fs, ss

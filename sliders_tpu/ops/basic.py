@@ -31,6 +31,10 @@ class SliderLora:
     the reference convention ``lora_unet_<module path with '_'>``
     (lora.py:206-207). ``multiplier`` is the (traced) slider scale; the
     reference's ``with network:`` context is ``multiplier=s`` vs ``0``.
+
+    ``multiplier`` may also be a (batch,) vector: different samples of one
+    batched forward get different slider scales (used to fuse the image
+    sliders' +s and −s passes into a single UNet call).
     """
 
     weights: dict
@@ -62,9 +66,17 @@ def linear(
     if entry is not None:
         down, up = entry["down"], entry["up"]
         rank = down.shape[-1]
-        scale = (lora.multiplier * entry["alpha"] / rank).astype(x.dtype)
+        scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
         y = y + (x @ down.astype(x.dtype)) @ up.astype(x.dtype) * scale
     return y
+
+
+def _lora_scale(multiplier, alpha, rank: int, y: jax.Array) -> jax.Array:
+    """Scalar or per-sample (batch,) multiplier -> broadcastable scale."""
+    scale = multiplier * alpha / rank
+    if jnp.ndim(scale) > 0:
+        scale = scale.reshape(scale.shape + (1,) * (y.ndim - 1))
+    return scale.astype(y.dtype)
 
 
 def conv2d(
@@ -97,7 +109,7 @@ def conv2d(
     if entry is not None:
         down, up = entry["down"], entry["up"]
         rank = down.shape[-1]
-        scale = (lora.multiplier * entry["alpha"] / rank).astype(x.dtype)
+        scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
         h = jax.lax.conv_general_dilated(
             x,
             down.astype(x.dtype),

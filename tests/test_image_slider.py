@@ -1,0 +1,113 @@
+"""Image-slider training tests: per-sample multiplier fusion, dataset
+pairing, and the end-to-end jitted step."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sliders_tpu.data.paired_images import (
+    PairedImageFolders,
+    parse_folder_args,
+    preprocess_image,
+)
+from sliders_tpu.diffusion import make_sampler, make_schedule
+from sliders_tpu.lora import network as lnet
+from sliders_tpu.models import unet2d, vae
+from sliders_tpu.ops.basic import SliderLora
+from sliders_tpu.training import optimizers as opt_factory
+from sliders_tpu.training.image_slider import make_image_slider_step
+from sliders_tpu.training.text_slider import SliderTrainState
+
+
+def test_per_sample_multiplier_equals_two_scalar_calls():
+    """The fused ±s batched call must equal two scalar-multiplier calls."""
+    cfg = unet2d.TINY
+    params = unet2d.init_params(jax.random.key(0), cfg)
+    lora_w = lnet.create_slider_network(jax.random.key(1), params, rank=4, train_method="noxattn")
+    lora_w = jax.tree.map(lambda x: x + 0.03, lora_w)
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 4))
+    ehs = jax.random.normal(jax.random.key(3), (2, 7, cfg.cross_attention_dim))
+    t = jnp.array([500.0, 500.0])
+
+    fused = unet2d.apply(
+        params, cfg, x, t, ehs,
+        lora=SliderLora(weights=lora_w, multiplier=jnp.asarray([2.0, -2.0])),
+    )
+    hi = unet2d.apply(
+        params, cfg, x[:1], t[:1], ehs[:1],
+        lora=SliderLora(weights=lora_w, multiplier=jnp.asarray(2.0)),
+    )
+    lo = unet2d.apply(
+        params, cfg, x[1:], t[1:], ehs[1:],
+        lora=SliderLora(weights=lora_w, multiplier=jnp.asarray(-2.0)),
+    )
+    np.testing.assert_allclose(np.asarray(fused[:1]), np.asarray(hi), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused[1:]), np.asarray(lo), atol=2e-5)
+
+
+def _write_img(path, value):
+    from PIL import Image
+
+    arr = np.full((20, 20, 3), value, np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def test_paired_folders(tmp_path):
+    for folder, val in (("low", 40), ("high", 200)):
+        os.makedirs(tmp_path / folder)
+        _write_img(tmp_path / folder / "a.png", val)
+        _write_img(tmp_path / folder / "b.jpg", val + 5)
+        (tmp_path / folder / "notes.txt").write_text("skip me")
+    folders, scales = parse_folder_args("low, high", "-1, 1")
+    ds = PairedImageFolders(str(tmp_path), folders, scales)
+    rng = np.random.default_rng(0)
+    s, lo, hi = ds.sample_pair(rng, 16)
+    assert s == 1.0
+    assert lo.shape == (16, 16, 3) and hi.shape == (16, 16, 3)
+    assert lo.min() >= -1.0 and hi.max() <= 1.0
+    assert hi.mean() > lo.mean()  # high folder is brighter
+    with pytest.raises(ValueError):
+        PairedImageFolders(str(tmp_path), ["low"], [1.0])  # missing -1 pair
+    with pytest.raises(ValueError):
+        parse_folder_args("a,b", "1")
+
+
+def test_image_slider_step_runs_and_learns():
+    ucfg = unet2d.TINY
+    vcfg = vae.TINY
+    unet_params = unet2d.init_params(jax.random.key(0), ucfg)
+    vae_params = vae.init_params(jax.random.key(1), vcfg)
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", 10)
+    lora = lnet.create_slider_network(jax.random.key(2), unet_params, rank=2, train_method="noxattn")
+    optimizer = opt_factory.make_optimizer(
+        "adamw", opt_factory.make_lr_schedule("constant", 1e-2, 50),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    step = make_image_slider_step(
+        ucfg, vcfg, schedule, sampler, optimizer,
+        max_denoising_steps=10, compute_dtype=jnp.float32, remat=False, donate=False,
+    )
+    state = SliderTrainState.create(jax.random.key(3), lora, optimizer)
+
+    D = ucfg.cross_attention_dim
+    batch = {
+        "images_low": jnp.clip(jax.random.normal(jax.random.key(4), (1, 32, 32, 3)) * 0.3, -1, 1),
+        "images_high": jnp.clip(jax.random.normal(jax.random.key(5), (1, 32, 32, 3)) * 0.3 + 0.2, -1, 1),
+        "scale": jnp.asarray(1.0),
+        "positive": jax.random.normal(jax.random.key(6), (7, D)),
+        "neutral": jax.random.normal(jax.random.key(7), (7, D)),
+        "unconditional": jax.random.normal(jax.random.key(8), (7, D)),
+    }
+    zero = jnp.asarray(0, jnp.int32)
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state.replace(step=zero), unet_params, vae_params, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # alpha untouched, adapters moved
+    assert all(float(w["alpha"]) == 1.0 for w in state.lora.values())
