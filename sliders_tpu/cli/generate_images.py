@@ -1,0 +1,183 @@
+"""CSV-driven scale-sweep image generation — the reference eval generators
+(eval-scripts/generate_images_sd1.py / generate_images_xl.py) as one CLI.
+
+Per CSV row (case_number, prompt, evaluation_seed) and slider scale, sample
+with the slider gated by start_noise and save
+`{save_path}/{name}/{scale}/{case_number}_{i}.png` plus an `all/` grid —
+the directory contract the CLIP/LPIPS scorers read.
+
+TPU re-design: the entire scale sweep for one prompt is ONE batched denoise
+using per-sample LoRA multipliers (the reference loops scales and re-runs
+the full 50-step loop per scale — we do all scales in a single pass,
+~len(scales)x fewer UNet launches at better MXU utilization).
+
+Slider hyperparameters come from the `_metadata.json` sidecar when present,
+else are parsed from the checkpoint filename exactly like the reference
+(generate_images_sd1.py:80-104).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def infer_params_from_name(name: str) -> dict:
+    """Reference filename-convention parsing (generate_images_sd1.py:80-104)."""
+    out = {"train_method": "noxattn", "rank": 4, "alpha": 1.0}
+    for method in (
+        "noxattn-hspace-last", "noxattn-hspace", "xattn-strict", "innoxattn",
+        "noxattn", "selfattn", "xattn", "full",
+    ):
+        if method in name:
+            out["train_method"] = method
+            break
+    network_type = "c3lier" if out["train_method"] in ("noxattn-hspace", "noxattn-hspace-last") else "lierla"
+    out["network_type"] = network_type
+    for token in os.path.basename(name).replace(".safetensors", "").replace(".pt", "").split("_"):
+        if token.startswith("rank"):
+            try:
+                out["rank"] = int(token[4:])
+            except ValueError:
+                pass
+        if token.startswith("alpha"):
+            try:
+                out["alpha"] = float(token[5:])
+            except ValueError:
+                pass
+    return out
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.models import loader
+    from sliders_tpu.pipelines import text2image as t2i
+    from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
+
+    import pandas as pd
+
+    scales = [float(s) for s in args.scales.split(",")]
+    dtype = jnp.bfloat16 if args.precision in ("bf16", "bfloat16") else jnp.float32
+
+    if args.xl:
+        models = loader.load_sdxl(args.base, dtype=dtype, load_vae=True)
+    else:
+        models = loader.load_sd(args.base, dtype=dtype, load_vae=True)
+
+    weights = None
+    if args.model_name:
+        weights = lora_io.load_slider(args.model_name, models.unet_params)
+        meta_path = args.model_name.rsplit("_", 1)[0] + "_metadata.json"
+        if os.path.exists(meta_path):
+            print(f"slider hyperparams from {meta_path}")
+        else:
+            print(f"slider hyperparams from filename: {infer_params_from_name(args.model_name)}")
+
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, args.scheduler, args.ddim_steps)
+    use_cfg = args.guidance_scale > 1.0
+    fn = t2i.make_sampling_fn(
+        models.unet_config, sampler, use_cfg=use_cfg,
+        guidance_rescale=0.7 if args.xl else 0.0, compute_dtype=dtype,
+        is_xl=models.is_xl,
+    )
+
+    name = (
+        os.path.basename(args.model_name or "base").replace(".pt", "").replace(".safetensors", "")
+    )
+    folder_path = os.path.join(args.save_path, name)
+    os.makedirs(os.path.join(folder_path, "all"), exist_ok=True)
+    scale_strs = [str(s).replace("0.5", "half").rstrip("0").rstrip(".") if "." in str(s) else str(s) for s in scales]
+    scale_strs = [s if s else "0" for s in scale_strs]
+    for s in scale_strs:
+        os.makedirs(os.path.join(folder_path, s), exist_ok=True)
+
+    df = pd.read_csv(args.prompts_path)
+    n_scales = len(scales)
+    scale_vec = jnp.asarray(scales, jnp.float32)
+
+    for _, row in df.iterrows():
+        case = int(row.case_number)
+        if not (args.from_case <= case <= args.till_case):
+            continue
+        prompt = str(row.prompt)
+        seed = int(row.evaluation_seed)
+        print(prompt, seed)
+
+        if models.is_xl:
+            toks = [te.tokenizer for te in models.text_encoders]
+            ps = [te.params for te in models.text_encoders]
+            cs = [te.config for te in models.text_encoders]
+            cond, pooled_c = encode_prompts_xl(toks, ps, cs, [prompt])
+            uncond, pooled_u = encode_prompts_xl(toks, ps, cs, [args.negative_prompt or ""])
+            tid = t2i.get_add_time_ids(args.image_size, args.image_size)
+            added = {
+                "text_embeds": jnp.tile(pooled_c, (n_scales, 1)),
+                "time_ids": jnp.tile(tid, (n_scales, 1)),
+                "uncond_text_embeds": jnp.tile(pooled_u, (n_scales, 1)),
+                "uncond_time_ids": jnp.tile(tid, (n_scales, 1)),
+            }
+        else:
+            te = models.text_encoders[0]
+            cond = encode_prompts(
+                te.tokenizer, te.params, te.config, [prompt], num_layers=te.clip_skip_layers
+            )
+            uncond = encode_prompts(
+                te.tokenizer, te.params, te.config, [args.negative_prompt or ""],
+                num_layers=te.clip_skip_layers,
+            )
+            added = None
+
+        for i in range(args.num_samples):
+            key = jax.random.key(seed + i * 1000)
+            lats1 = t2i.initial_latents(key, 1, args.image_size, args.image_size, sampler.init_noise_sigma)
+            lats = jnp.tile(lats1, (n_scales, 1, 1, 1))
+            cond_b = jnp.tile(cond, (n_scales, 1, 1))
+            uncond_b = jnp.tile(uncond, (n_scales, 1, 1))
+            x = fn(
+                models.unet_params, lats, cond_b, uncond_b, weights,
+                scale_vec, jnp.asarray(float(args.start_noise)),
+                jnp.asarray(float(args.guidance_scale)), jax.random.key(seed),
+                added,
+            )
+            imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
+            pil = [Image.fromarray(im) for im in imgs]
+            for s_str, im in zip(scale_strs, pil):
+                im.save(os.path.join(folder_path, s_str, f"{case}_{i}.png"))
+            grid = Image.new("RGB", (imgs.shape[2] * n_scales, imgs.shape[1]))
+            for j, im in enumerate(pil):
+                grid.paste(im, (j * imgs.shape[2], 0))
+            grid.save(os.path.join(folder_path, "all", f"{case}_{i}.png"))
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", default=None, help="slider checkpoint (.pt/.safetensors); omit for base model")
+    p.add_argument("--prompts_path", required=True, help="csv with case_number,prompt,evaluation_seed")
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--base", required=True, help="local model snapshot dir")
+    p.add_argument("--negative_prompt", default=None)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--from_case", type=int, default=0)
+    p.add_argument("--till_case", type=int, default=1000000)
+    p.add_argument("--start_noise", type=int, default=750)
+    p.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    p.add_argument("--scheduler", type=str, default="ddim", choices=["ddim", "ddpm", "lms", "euler_a"])
+    p.add_argument("--precision", type=str, default="bfloat16")
+    p.add_argument("--xl", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -81,7 +81,11 @@ def make_sampling_fn(
         def body(carry, i):
             x, s_state = carry
             t = sampler.timesteps[i]
+            # slider_scale may be a (B,) vector: one batched denoise serves a
+            # whole scale sweep via per-sample LoRA multipliers
             mult = jnp.where(t > start_noise, 0.0, slider_scale)
+            if use_cfg and jnp.ndim(mult) > 0:
+                mult = jnp.concatenate([mult, mult])
             lora = (
                 None
                 if lora_weights is None
