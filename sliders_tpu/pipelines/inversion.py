@@ -131,15 +131,14 @@ def make_edit_sampling_fn(
             x, s_state = carry
             t = sampler.timesteps[i]
             mult = jnp.where(t > start_noise, 0.0, slider_scale)
-            lora = (
-                None if lora_weights is None
-                else SliderLora(weights=lora_weights, multiplier=mult)
-            )
+            params = unet_params
+            if lora_weights is not None:
+                from sliders_tpu.lora.merge import merge_lora_weights
+
+                params = merge_lora_weights(unet_params, lora_weights, mult)
             ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
             x2 = jnp.concatenate([x, x])
-            eps = unet2d.apply(
-                unet_params, unet_cfg, x2, t, ehs, lora=lora
-            )
+            eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             x, s_state = sampler.step(i, eps, x, s_state)

@@ -84,17 +84,21 @@ def make_sampling_fn(
             # slider_scale may be a (B,) vector: one batched denoise serves a
             # whole scale sweep via per-sample LoRA multipliers
             mult = jnp.where(t > start_noise, 0.0, slider_scale)
-            if use_cfg and jnp.ndim(mult) > 0:
-                mult = jnp.concatenate([mult, mult])
-            lora = (
-                None
-                if lora_weights is None
-                else SliderLora(weights=lora_weights, multiplier=mult)
-            )
+            params, lora = unet_params, None
+            if lora_weights is not None:
+                if jnp.ndim(mult) == 0:
+                    # scalar scale: merged-weight fast path (lora/merge.py)
+                    from sliders_tpu.lora.merge import merge_lora_weights
+
+                    params = merge_lora_weights(unet_params, lora_weights, mult)
+                else:
+                    if use_cfg:
+                        mult = jnp.concatenate([mult, mult])
+                    lora = SliderLora(weights=lora_weights, multiplier=mult)
             x_in = jnp.concatenate([x, x]) if use_cfg else x
             x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
             eps = unet2d.apply(
-                unet_params, unet_cfg, x_in, t, ehs, added_cond=added, lora=lora
+                params, unet_cfg, x_in, t, ehs, added_cond=added, lora=lora
             )
             if use_cfg:
                 eps_text = jnp.split(eps, 2, axis=0)[1]

@@ -103,10 +103,17 @@ def make_text_slider_step(
         return x
 
     def unet_fn(unet_params, x, t, ehs, mult, lora_weights, added):
-        lora = SliderLora(weights=lora_weights, multiplier=mult)
+        """Slider-scaled UNet forward. Scalar multipliers use the merged-
+        weight fast path (lora/merge.py — the rank-4 branch is ~18x slower
+        on TPU); mult=0.0 short-circuits to the base weights."""
+        if isinstance(mult, float) and mult == 0.0:
+            p = unet_params
+        else:
+            from sliders_tpu.lora.merge import merge_lora_weights
+
+            p = merge_lora_weights(unet_params, lora_weights, mult)
         return unet2d.apply(
-            unet_params, unet_cfg, x, t, ehs,
-            added_cond=added, lora=lora, remat=remat,
+            p, unet_cfg, x, t, ehs, added_cond=added, remat=remat,
         )
 
     def rep(e):
