@@ -36,6 +36,12 @@ from sliders_tpu.utils import pytree
 
 # parent-class patterns over dotted param paths -> child leaf names
 _ATTN_PARENT = re.compile(r"^(.*\battn[12])\.(to_q|to_k|to_v|to_out\.0)\.weight$")
+# FLUX Attention parents: transformer_blocks.N.attn / single_transformer_blocks.N.attn
+# (flux-sliders targets the same 'Attention' class, flux lora.py:24-30)
+_FLUX_ATTN_PARENT = re.compile(
+    r"^(.*transformer_blocks\.\d+\.attn)\."  # matches single_transformer_blocks too
+    r"(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj|to_out\.0|to_add_out)\.weight$"
+)
 _RESNET_PARENT = re.compile(
     r"^(.*\bresnets\.\d+)\.(conv1|conv2|time_emb_proj|conv_shortcut)\.weight$"
 )
@@ -46,7 +52,11 @@ CONV_PATTERNS = (_RESNET_PARENT, _DOWNSAMPLER, _UPSAMPLER)
 
 
 def _method_allows(parent: str, child: str, train_method: str) -> bool:
-    """Reference lora.py:176-205 name filters."""
+    """Name filters of the reference create_modules (lora.py:176-205 for the
+    SD copies; flux lora.py:217-231 for the FLUX copy, whose xattn* methods
+    filter on 'attn' instead of 'attn2' — FLUX attention parents are named
+    '...transformer_blocks.N.attn' with no 1/2 suffix)."""
+    is_flux = parent.endswith(".attn")
     if train_method in ("noxattn", "noxattn-hspace", "noxattn-hspace-last"):
         if "attn2" in parent or "time_embed" in parent:
             return False
@@ -57,7 +67,14 @@ def _method_allows(parent: str, child: str, train_method: str) -> bool:
         if "attn1" not in parent:
             return False
     elif train_method in ("xattn", "xattn-strict"):
-        if "attn2" not in parent:
+        if not ("attn" in parent if is_flux else "attn2" in parent):
+            return False
+    elif train_method in ("xattn-up", "xattn-down", "xattn-mid"):
+        # flux lora.py:222-231: 'attn' in name + block-position substring
+        if "attn" not in parent:
+            return False
+        pos = {"xattn-up": "up_block", "xattn-down": "down_block", "xattn-mid": "mid_block"}
+        if pos[train_method] not in parent:
             return False
     elif train_method == "full":
         pass
@@ -81,7 +98,7 @@ def target_module_paths(
 ) -> list[str]:
     """Dotted module paths (call-site names) that receive LoRA."""
     flat = pytree.flatten(unet_params)
-    patterns = [_ATTN_PARENT]
+    patterns = [_ATTN_PARENT, _FLUX_ATTN_PARENT]
     if network_type == "c3lier":
         patterns += list(CONV_PATTERNS)
     elif network_type != "lierla":
@@ -117,9 +134,17 @@ def create_slider_network(
     train_method: str = "full",
     network_type: str = "lierla",
     init_a: float = 1.0,
+    ortho_up: bool = False,
     dtype=jnp.float32,
 ) -> dict:
-    """Build the LoRA weights pytree {module_path: {'down','up','alpha'}}."""
+    """Build the LoRA weights pytree {module_path: {'down','up','alpha'}}.
+
+    `ortho_up=True` is the flux-sliders variant (flux lora.py:52-69): up is
+    initialized from random columns of a random orthogonal basis (and should
+    be frozen by the training mask — see `trainable_mask(ortho_up=True)`);
+    down still gets kaiming init... note the reference zero-path: with ortho
+    up, down is trained from kaiming-uniform as usual.
+    """
     modules = target_module_paths(unet_params, network_type, train_method)
     flat = pytree.flatten(unet_params)
     weights: dict[str, dict] = {}
@@ -130,7 +155,15 @@ def create_slider_network(
             d_in, d_out = w.shape
             r = rank
             down = _kaiming_uniform(k, (d_in, r), d_in, init_a, dtype)
-            up = jnp.zeros((r, d_out), dtype)
+            if ortho_up:
+                k2, k3 = jax.random.split(jax.random.fold_in(k, 1))
+                q, _ = jnp.linalg.qr(jax.random.normal(k2, (d_out, d_out)))
+                # distinct columns (the reference's randint can duplicate,
+                # flux lora.py:65 — clearly unintended; we sample w/o repl.)
+                cols = jax.random.choice(k3, d_out, (r,), replace=False)
+                up = q[:, cols].T.astype(dtype)  # (r, d_out) orthonormal rows
+            else:
+                up = jnp.zeros((r, d_out), dtype)
         else:  # conv HWIO
             kh, kw, d_in, d_out = w.shape
             r = min(rank, d_in, d_out)  # lora.py:78-80 clamp
@@ -145,11 +178,13 @@ def create_slider_network(
     return weights
 
 
-def trainable_mask(weights: dict) -> dict:
+def trainable_mask(weights: dict, ortho_up: bool = False) -> dict:
     """True for trainable leaves (down/up), False for alpha (a constant
-    buffer in the reference, lora.py:94)."""
+    buffer in the reference, lora.py:94). With `ortho_up`, up is frozen too —
+    the flux-sliders optimizer trains only lora_down for non-'full' methods
+    (flux lora.py:268-280)."""
     return {
-        m: {"down": True, "up": True, "alpha": False} for m in weights
+        m: {"down": True, "up": not ortho_up, "alpha": False} for m in weights
     }
 
 

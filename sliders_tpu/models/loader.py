@@ -77,6 +77,7 @@ def vae_config_from_hf(cfg: dict) -> vae.VaeConfig:
         layers_per_block=cfg.get("layers_per_block", 2),
         norm_num_groups=cfg.get("norm_num_groups", 32),
         scaling_factor=cfg.get("scaling_factor", 0.18215),
+        shift_factor=cfg.get("shift_factor") or 0.0,
     )
 
 
@@ -129,6 +130,73 @@ def load_sd(
     unet_params = convert.cast_tree(convert.load_component(model_dir, "unet"), dtype)
     te = _load_te(model_dir, "text_encoder", "tokenizer", dtype, clip_skip=clip_skip)
     bundle = SDModels(unet_params, unet_cfg, [te], is_xl=False)
+    if load_vae:
+        bundle.vae_config = vae_config_from_hf(convert.load_component_config(model_dir, "vae"))
+        bundle.vae_params = convert.cast_tree(convert.load_component(model_dir, "vae"), dtype)
+    return bundle
+
+
+def flux_config_from_hf(cfg: dict):
+    from sliders_tpu.models import flux
+
+    return flux.FluxConfig(
+        in_channels=cfg.get("in_channels", 64),
+        num_layers=cfg.get("num_layers", 19),
+        num_single_layers=cfg.get("num_single_layers", 38),
+        attention_head_dim=cfg.get("attention_head_dim", 128),
+        num_attention_heads=cfg.get("num_attention_heads", 24),
+        joint_attention_dim=cfg.get("joint_attention_dim", 4096),
+        pooled_projection_dim=cfg.get("pooled_projection_dim", 768),
+        guidance_embeds=cfg.get("guidance_embeds", True),
+        axes_dims_rope=tuple(cfg.get("axes_dims_rope", (16, 56, 56))),
+    )
+
+
+@dataclass
+class FluxModels:
+    transformer_params: dict
+    transformer_config: object
+    clip: TextEncoderBundle
+    t5_params: Optional[dict]
+    t5_config: object
+    t5_tokenizer: Optional[object]
+    vae_params: Optional[dict] = None
+    vae_config: Optional[vae.VaeConfig] = None
+
+
+def load_flux(model_dir: str, *, dtype=jnp.bfloat16, load_vae: bool = False) -> FluxModels:
+    """FLUX pipeline loading (transformer + CLIP-L + T5 + 16ch VAE).
+
+    The T5 tokenizer needs sentencepiece; when unavailable, pass precomputed
+    token ids to the encoding helpers (t5_tokenizer stays None).
+    """
+    from sliders_tpu.models import t5 as t5_mod
+
+    tcfg = flux_config_from_hf(convert.load_component_config(model_dir, "transformer"))
+    tparams = convert.cast_tree(convert.load_component(model_dir, "transformer"), dtype)
+    clip = _load_te(model_dir, "text_encoder", "tokenizer", dtype)
+
+    t5_hf = convert.load_component_config(model_dir, "text_encoder_2")
+    t5_cfg = t5_mod.T5Config(
+        vocab_size=t5_hf.get("vocab_size", 32128),
+        d_model=t5_hf.get("d_model", 4096),
+        d_kv=t5_hf.get("d_kv", 64),
+        d_ff=t5_hf.get("d_ff", 10240),
+        num_layers=t5_hf.get("num_layers", 24),
+        num_heads=t5_hf.get("num_heads", 64),
+    )
+    t5_params = convert.cast_tree(convert.load_component(model_dir, "text_encoder_2"), dtype)
+    t5_tok = None
+    try:
+        import transformers
+
+        t5_tok = transformers.T5TokenizerFast.from_pretrained(
+            os.path.join(model_dir, "tokenizer_2")
+        )
+    except Exception:
+        pass
+
+    bundle = FluxModels(tparams, tcfg, clip, t5_params, t5_cfg, t5_tok)
     if load_vae:
         bundle.vae_config = vae_config_from_hf(convert.load_component_config(model_dir, "vae"))
         bundle.vae_params = convert.cast_tree(convert.load_component(model_dir, "vae"), dtype)

@@ -31,11 +31,26 @@ class VaeConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    shift_factor: float = 0.0  # FLUX VAE shifts before scaling
 
 
 SD_VAE = VaeConfig()
 SDXL_VAE = VaeConfig(scaling_factor=0.13025)
+FLUX_VAE = VaeConfig(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)
 TINY = VaeConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8)
+TINY_FLUX = VaeConfig(
+    block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8,
+    latent_channels=4, scaling_factor=0.3611, shift_factor=0.1159,
+)
+
+
+def normalize_latents(cfg: VaeConfig, raw: jax.Array) -> jax.Array:
+    """Posterior sample -> model-space latents: (z - shift) * scale."""
+    return (raw - cfg.shift_factor) * cfg.scaling_factor
+
+
+def denormalize_latents(cfg: VaeConfig, latents: jax.Array) -> jax.Array:
+    return latents / cfg.scaling_factor + cfg.shift_factor
 
 
 def _resnet(p: dict, x: jax.Array, groups: int) -> jax.Array:

@@ -1,0 +1,97 @@
+"""FLUX text-to-image sampling with slider gating.
+
+Reimplements the behaviors of flux-sliders' custom FluxPipeline
+(custom_flux_pipeline.py): CLIP-pooled + T5 dual encoding (:201-371), 2x2
+latent packing + RoPE ids (:420-455), FlowMatch-Euler with
+resolution-dependent mu shift (:67-137), guidance embedding (distilled CFG,
+:687-692), and the slider hook — the LoRA is active only when the step index
+exceeds `skip_slider_timestep_till` (:694-731).
+
+TPU design: one lax.scan over steps; the gate is a branch-free where on the
+step index; scalar slider scales use the merged-weight fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sliders_tpu.diffusion.schedulers import FlowMatchSampler
+from sliders_tpu.lora.merge import merge_lora_weights
+from sliders_tpu.models import clip_text, flux, t5 as t5_mod
+
+
+def encode_prompts_flux(models, prompts: list[str], t5_ids=None, max_t5_len: int = 512):
+    """(pooled (B, 768), t5_embeds (B, L, 4096)). CLIP provides only the
+    pooled projection; T5 provides the sequence features
+    (custom_flux_pipeline.py:201-287)."""
+    clip_ids = jnp.asarray(models.clip.tokenizer(prompts))
+    clip_out = clip_text.apply(models.clip.params, clip_ids, models.clip.config)
+    pooled = clip_out["pooler_output"]
+
+    if t5_ids is None:
+        if models.t5_tokenizer is None:
+            raise RuntimeError(
+                "T5 tokenizer unavailable (sentencepiece not installed); "
+                "pass precomputed t5_ids"
+            )
+        enc = models.t5_tokenizer(
+            prompts, padding="max_length", max_length=max_t5_len,
+            truncation=True, return_tensors="np",
+        )
+        t5_ids = jnp.asarray(enc.input_ids)
+    t5_embeds = t5_mod.apply(models.t5_params, t5_ids, models.t5_config)
+    return pooled, t5_embeds
+
+
+def make_flux_sampling_fn(
+    cfg: flux.FluxConfig,
+    sampler: FlowMatchSampler,
+    *,
+    latent_hw: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """fn(params, packed_latents, pooled, t5_embeds, lora_weights,
+    slider_scale, skip_slider_timestep_till, guidance, key_unused)
+    -> packed latents after all steps.
+
+    Slider gate: active when step index i > skip_slider_timestep_till
+    (custom_flux_pipeline.py:703-711); pass -1 to keep it always on."""
+    n = sampler.num_steps
+    img_ids_arr = jnp.asarray(flux.image_ids(latent_hw, latent_hw))
+
+    def fn(params, latents, pooled, t5_embeds, lora_weights, slider_scale,
+           skip_till, guidance):
+        latents = latents.astype(compute_dtype)
+        tids = jnp.asarray(flux.text_ids(t5_embeds.shape[1]))
+        B = latents.shape[0]
+        g = jnp.broadcast_to(guidance, (B,)) if cfg.guidance_embeds else None
+
+        def make_body(p):
+            def body(i, x):
+                t_norm = jnp.broadcast_to(sampler.timesteps[i] / 1000.0, (B,))
+                v = flux.apply(
+                    p, cfg, x, t_norm, pooled.astype(compute_dtype),
+                    t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
+                )
+                return sampler.step(i, v, x).astype(compute_dtype)
+            return body
+
+        if lora_weights is None:
+            return jax.lax.fori_loop(0, n, make_body(params), latents)
+        # gate opens after step index skip_till: two fixed-params segments
+        merged = merge_lora_weights(params, lora_weights, slider_scale)
+        boundary = jnp.clip(skip_till + 1, 0, n)
+        x = jax.lax.fori_loop(0, boundary, make_body(params), latents)
+        return jax.lax.fori_loop(boundary, n, make_body(merged), x)
+
+    return jax.jit(fn)
+
+
+def initial_packed_latents(key, batch: int, height: int, width: int, latent_channels: int = 16):
+    """Pure-noise packed latents for a height x width pixel canvas."""
+    h, w = height // 8, width // 8
+    lat = jax.random.normal(key, (batch, h, w, latent_channels))
+    return flux.pack_latents(lat)

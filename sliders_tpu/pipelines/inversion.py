@@ -127,27 +127,32 @@ def make_edit_sampling_fn(
     n = sampler.num_steps
 
     def fn(unet_params, x_T, cond_emb, uncond_per_step, lora_weights, slider_scale, start_noise):
-        def body(carry, i):
-            x, s_state = carry
-            t = sampler.timesteps[i]
-            mult = jnp.where(t > start_noise, 0.0, slider_scale)
-            params = unet_params
-            if lora_weights is not None:
-                from sliders_tpu.lora.merge import merge_lora_weights
+        def make_body(params):
+            def body(i, carry):
+                x, s_state = carry
+                t = sampler.timesteps[i]
+                ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
+                x2 = jnp.concatenate([x, x])
+                eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                x, s_state = sampler.step(i, eps, x, s_state)
+                return (x.astype(compute_dtype), s_state)
+            return body
 
-                params = merge_lora_weights(unet_params, lora_weights, mult)
-            ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
-            x2 = jnp.concatenate([x, x])
-            eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            eps = eps_u + guidance_scale * (eps_c - eps_u)
-            x, s_state = sampler.step(i, eps, x, s_state)
-            return (x.astype(compute_dtype), s_state), None
+        carry = (x_T.astype(compute_dtype), sampler.init_state(x_T))
+        if lora_weights is None:
+            carry = jax.lax.fori_loop(0, n, make_body(unet_params), carry)
+        else:
+            # two fixed-params segments split at the start_noise gate
+            from sliders_tpu.lora.merge import merge_lora_weights
 
-        (x, _), _ = jax.lax.scan(
-            body, (x_T.astype(compute_dtype), sampler.init_state(x_T)), jnp.arange(n)
-        )
-        return x
+            merged = merge_lora_weights(unet_params, lora_weights, slider_scale)
+            active = sampler.timesteps <= start_noise
+            boundary = jnp.where(jnp.any(active), jnp.argmax(active), n)
+            carry = jax.lax.fori_loop(0, boundary, make_body(unet_params), carry)
+            carry = jax.lax.fori_loop(boundary, n, make_body(merged), carry)
+        return carry[0]
 
     return jax.jit(fn)
 

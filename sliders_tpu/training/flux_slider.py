@@ -1,0 +1,130 @@
+"""FLUX text-slider training (flow matching) as ONE jitted step.
+
+The reference's FLUX training notebook is missing from its snapshot
+(flux-sliders/.MISSING_LARGE_BLOBS); per SURVEY.md §2.3 the behavior is
+specified by flux-sliders/utils/* + README: rank-r LoRA on the
+FluxTransformer blocks, the same slider objective family, CLIP+T5 prompt
+conditioning, FlowMatch-Euler schedule with resolution shift, no CFG
+batch-doubling (guidance is an embedding, custom_flux_pipeline.py:687-692).
+
+Structure mirrors training/text_slider.py in velocity space:
+  1. sample t_to; partially integrate the flow from pure noise with the
+     slider ON;
+  2. predict velocities for positive/neutral/unconditional prompts with the
+     slider OFF (one batched pass) and for the target prompt with the
+     slider ON (grad pass);
+  3. MSE against neutral ± g·(positive − unconditional).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sliders_tpu.diffusion.schedulers import FlowMatchSampler
+from sliders_tpu.lora.merge import merge_lora_weights
+from sliders_tpu.models import flux
+from sliders_tpu.training.text_slider import SliderTrainState
+
+
+def make_flux_slider_step(
+    cfg: flux.FluxConfig,
+    sampler: FlowMatchSampler,
+    optimizer: optax.GradientTransformation,
+    *,
+    resolution: int = 512,
+    batch_size: int = 1,
+    transformer_guidance: float = 1.0,  # guidance EMBEDDING value during training
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    donate: bool = True,
+    trainable_mask=None,
+):
+    """step(state, flux_params, pairs) -> (new_state, metrics).
+
+    pairs: stacked dict with t5 (n, L_t5, joint_dim) and pooled (n, pooled_dim)
+    per prompt role + guidance_signed (n,).
+    """
+    latent_hw = resolution // 8  # VAE factor 8, then 2x2 packing
+    l_img = (latent_hw // 2) * (latent_hw // 2)
+    img_ids = jnp.asarray(flux.image_ids(latent_hw, latent_hw))
+    n_steps = sampler.num_steps
+
+    def model(params, lora_weights, mult, x, t_norm, pooled, txt):
+        p = merge_lora_weights(params, lora_weights, mult) if mult is not None else params
+        tids = jnp.asarray(flux.text_ids(txt.shape[1]))
+        g = jnp.full((x.shape[0],), transformer_guidance) if cfg.guidance_embeds else None
+        return flux.apply(
+            p, cfg, x, jnp.broadcast_to(t_norm, (x.shape[0],)), pooled, txt,
+            tids, img_ids, guidance=g, remat=remat,
+        )
+
+    def rep(e):
+        return jnp.broadcast_to(e, (batch_size,) + e.shape).astype(compute_dtype)
+
+    def step_fn(state: SliderTrainState, params: dict, pairs: dict):
+        key = jax.random.fold_in(state.key, state.step)
+        k_pair, k_t, k_lat = jax.random.split(key, 3)
+
+        n_pairs = pairs["target_t5"].shape[0]
+        idx = jax.random.randint(k_pair, (), 0, n_pairs)
+        pair = jax.tree.map(lambda a: a[idx], pairs)
+        t_to = jax.random.randint(k_t, (), 1, n_steps)
+
+        x = jax.random.normal(
+            k_lat, (batch_size, l_img, cfg.in_channels)
+        ).astype(compute_dtype)
+
+        # partial flow integration with the slider ON (Euler steps);
+        # merge once OUTSIDE the loop (lora/merge.py rationale)
+        merged_on = jax.lax.stop_gradient(
+            merge_lora_weights(params, state.lora, 1.0)
+        )
+
+        def body(i, carry):
+            xi = carry
+            t_norm = sampler.timesteps[i] / 1000.0
+            v = model(
+                merged_on, None, None, xi, t_norm,
+                rep(pair["target_pooled"]), rep(pair["target_t5"]),
+            )
+            return sampler.step(i, v, xi).astype(compute_dtype)
+
+        x = jax.lax.fori_loop(0, t_to, body, x)
+        x = jax.lax.stop_gradient(x)
+        t_norm = sampler.timesteps[t_to] / 1000.0
+
+        # frozen velocities: one batched pass (positive, neutral, uncond)
+        txt3 = jnp.concatenate(
+            [rep(pair["positive_t5"]), rep(pair["neutral_t5"]), rep(pair["unconditional_t5"])]
+        )
+        pooled3 = jnp.concatenate(
+            [rep(pair["positive_pooled"]), rep(pair["neutral_pooled"]), rep(pair["unconditional_pooled"])]
+        )
+        x3 = jnp.tile(x, (3, 1, 1))
+        frozen = model(params, state.lora, None, x3, t_norm, pooled3, txt3)
+        v_pos, v_neu, v_unc = jnp.split(
+            jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0
+        )
+        goal = v_neu + pair["guidance_signed"] * (v_pos - v_unc)
+
+        def loss_fn(lora_weights):
+            v_t = model(
+                params, lora_weights, 1.0, x, t_norm,
+                rep(pair["target_pooled"]), rep(pair["target_t5"]),
+            ).astype(jnp.float32)
+            d = v_t - goal
+            return jnp.mean(d * d)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        new_state = state.replace(step=state.step + 1, lora=lora, opt_state=opt_state)
+        return new_state, {"loss": loss, "t_to": t_to, "pair": idx}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

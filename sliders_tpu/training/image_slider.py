@@ -84,7 +84,7 @@ def make_image_slider_step(
             [batch["images_high"], batch["images_low"]]
         ).astype(jnp.float32)
         mean, logvar = vae.encode(vae_params, vae_cfg, imgs)
-        lat = vae.sample_latents(mean, logvar, k_post) * vae_cfg.scaling_factor
+        lat = vae.normalize_latents(vae_cfg, vae.sample_latents(mean, logvar, k_post))
 
         noise1 = jax.random.normal(k_noise, lat[:B].shape, lat.dtype)
         noise = jnp.concatenate([noise1, noise1])  # same noise for ±s

@@ -102,19 +102,13 @@ def make_text_slider_step(
             return jax.lax.with_sharding_constraint(x, batch_sharding)
         return x
 
-    def unet_fn(unet_params, x, t, ehs, mult, lora_weights, added):
-        """Slider-scaled UNet forward. Scalar multipliers use the merged-
-        weight fast path (lora/merge.py — the rank-4 branch is ~18x slower
-        on TPU); mult=0.0 short-circuits to the base weights."""
-        if isinstance(mult, float) and mult == 0.0:
-            p = unet_params
-        else:
-            from sliders_tpu.lora.merge import merge_lora_weights
-
-            p = merge_lora_weights(unet_params, lora_weights, mult)
-        return unet2d.apply(
-            p, unet_cfg, x, t, ehs, added_cond=added, remat=remat,
-        )
+    def unet_fn(p, x, t, ehs, added):
+        """Base UNet forward on (possibly pre-merged) params. Slider scales
+        use the merged-weight fast path (lora/merge.py — the rank-4 branch is
+        ~18x slower on TPU), and merges are hoisted OUT of the denoise loop:
+        merging per loop iteration re-materializes the targeted weights every
+        step and measurably regresses throughput."""
+        return unet2d.apply(p, unet_cfg, x, t, ehs, added_cond=added, remat=remat)
 
     def rep(e):
         """(…) -> (B, …) broadcast of a per-pair tensor."""
@@ -151,6 +145,12 @@ def make_text_slider_step(
         latents = constrain_batch(latents)
 
         # ---- 2. partial denoise, slider ON, CFG at denoise_guidance ----
+        from sliders_tpu.lora.merge import merge_lora_weights
+
+        # merge ONCE (slider multiplier 1 throughout the denoise loop)
+        merged_on = jax.lax.stop_gradient(
+            merge_lora_weights(unet_params, state.lora, 1.0)
+        )
         ehs_cfg = jnp.concatenate([rep(pair["unconditional"]), rep(pair["target"])])
         added_cfg = added_concat(added_from(pair, "unconditional"), added_from(pair, "target"))
 
@@ -158,7 +158,7 @@ def make_text_slider_step(
             x, s_state = carry
             x_in = jnp.concatenate([x, x])
             x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
-            eps = unet_fn(unet_params, x_in, sampler.timesteps[i], ehs_cfg, 1.0, state.lora, added_cfg)
+            eps = unet_fn(merged_on, x_in, sampler.timesteps[i], ehs_cfg, added_cfg)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + denoise_guidance * (eps_c - eps_u)
             step_key = jax.random.fold_in(k_anc, i) if needs_step_key else None
@@ -185,7 +185,7 @@ def make_text_slider_step(
             added_from(pair, "unconditional"),
         )
         x3 = jnp.tile(x_scaled, (3, 1, 1, 1))
-        frozen = unet_fn(unet_params, x3, t_cur, ehs3, 0.0, state.lora, added3)
+        frozen = unet_fn(unet_params, x3, t_cur, ehs3, added3)  # slider OFF
         eps_pos, eps_neu, eps_unc = jnp.split(
             jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0
         )
@@ -195,8 +195,9 @@ def make_text_slider_step(
         added1 = added_from(pair, "target")
 
         def loss_fn(lora_weights):
+            merged = merge_lora_weights(unet_params, lora_weights, 1.0)
             eps_t = unet_fn(
-                unet_params, x_scaled, t_cur, rep(pair["target"]), 1.0, lora_weights, added1
+                merged, x_scaled, t_cur, rep(pair["target"]), added1
             ).astype(jnp.float32)
             diff = eps_t - goal
             return jnp.mean(diff * diff)
