@@ -46,6 +46,10 @@ class PromptSettings(BaseModel):
             values["unconditional"] = ""
         if "neutral" not in values or values["neutral"] is None:
             values["neutral"] = values["unconditional"]
+        # the GPT-helper YAMLs write 'guidance' instead of 'guidance_scale'
+        # (GPT_prompt_helper.ipynb cell 3; data/prompts-*_GPT.yaml) — honor it
+        if "guidance_scale" not in values and "guidance" in values:
+            values["guidance_scale"] = values["guidance"]
         return values
 
 
