@@ -24,6 +24,38 @@ import jax.numpy as jnp
 from sliders_tpu.utils import pytree
 
 
+def lora_deltas(lora_weights: dict, multiplier=1.0) -> dict:
+    """Precompute {module_path: full-rank delta} = mult*(alpha/rank)*down@up.
+
+    For per-step gated sampling, compute this ONCE and apply per step with
+    `add_deltas(params, deltas, gate)` — an elementwise add over only the
+    targeted weights (~tens of MB), instead of re-deriving the merge or
+    running dynamic-trip loops."""
+    out = {}
+    for name, w in lora_weights.items():
+        down = w["down"].astype(jnp.float32)
+        up = w["up"].astype(jnp.float32)
+        rank = down.shape[-1]
+        scale = (multiplier * w["alpha"] / rank).astype(jnp.float32)
+        if down.ndim == 2:
+            delta = down @ up
+        else:
+            delta = jnp.einsum("hwir,ro->hwio", down, up[0, 0])
+        out[name] = scale * delta
+    return out
+
+
+def add_deltas(unet_params: dict, deltas: dict, gate=1.0) -> dict:
+    """params with `gate * delta` added to each targeted weight."""
+    flat = pytree.flatten(unet_params)
+    out = dict(flat)
+    for name, delta in deltas.items():
+        key = f"{name}.weight"
+        base = flat[key]
+        out[key] = (base.astype(jnp.float32) + gate * delta).astype(base.dtype)
+    return pytree.unflatten(out)
+
+
 def merge_lora_weights(unet_params: dict, lora_weights: dict, multiplier) -> dict:
     """Return a param tree with LoRA deltas folded into the targeted weights.
 

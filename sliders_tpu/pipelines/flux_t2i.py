@@ -69,23 +69,27 @@ def make_flux_sampling_fn(
         B = latents.shape[0]
         g = jnp.broadcast_to(guidance, (B,)) if cfg.guidance_embeds else None
 
-        def make_body(p):
-            def body(i, x):
-                t_norm = jnp.broadcast_to(sampler.timesteps[i] / 1000.0, (B,))
-                v = flux.apply(
-                    p, cfg, x, t_norm, pooled.astype(compute_dtype),
-                    t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
-                )
-                return sampler.step(i, v, x).astype(compute_dtype)
-            return body
+        deltas = None
+        if lora_weights is not None:
+            from sliders_tpu.lora.merge import add_deltas, lora_deltas
 
-        if lora_weights is None:
-            return jax.lax.fori_loop(0, n, make_body(params), latents)
-        # gate opens after step index skip_till: two fixed-params segments
-        merged = merge_lora_weights(params, lora_weights, slider_scale)
-        boundary = jnp.clip(skip_till + 1, 0, n)
-        x = jax.lax.fori_loop(0, boundary, make_body(params), latents)
-        return jax.lax.fori_loop(boundary, n, make_body(merged), x)
+            deltas = lora_deltas(lora_weights, slider_scale)
+
+        def body(x, i):
+            p = params
+            if deltas is not None:
+                from sliders_tpu.lora.merge import add_deltas
+
+                p = add_deltas(params, deltas, jnp.where(i > skip_till, 1.0, 0.0))
+            t_norm = jnp.broadcast_to(sampler.timesteps[i] / 1000.0, (B,))
+            v = flux.apply(
+                p, cfg, x, t_norm, pooled.astype(compute_dtype),
+                t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
+            )
+            return sampler.step(i, v, x).astype(compute_dtype), None
+
+        x, _ = jax.lax.scan(body, latents, jnp.arange(n))
+        return x
 
     return jax.jit(fn)
 

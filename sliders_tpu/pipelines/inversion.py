@@ -84,7 +84,7 @@ def make_null_text_optimizer(
                 d = (x_prev - target).astype(jnp.float32)
                 return jnp.mean(d * d)
 
-            def inner(j, state):
+            def inner(state, _):
                 u, opt_state, done = state
                 loss, g = jax.value_and_grad(loss_fn)(u)
                 updates, new_opt = tx.update(g, opt_state, u)
@@ -95,11 +95,12 @@ def make_null_text_optimizer(
                 opt_state = jax.tree.map(
                     lambda a, b: jnp.where(done, a, b), opt_state, new_opt
                 )
-                return (u, opt_state, now_done)
+                return (u, opt_state, now_done), None
 
             u0 = uncond_emb
-            u, _, _ = jax.lax.fori_loop(
-                0, num_inner_steps, inner, (u0, tx.init(u0), jnp.asarray(False))
+            (u, _, _), _ = jax.lax.scan(
+                inner, (u0, tx.init(u0), jnp.asarray(False)), None,
+                length=num_inner_steps,
             )
 
             # advance the trajectory with the optimized uncond
@@ -127,32 +128,32 @@ def make_edit_sampling_fn(
     n = sampler.num_steps
 
     def fn(unet_params, x_T, cond_emb, uncond_per_step, lora_weights, slider_scale, start_noise):
-        def make_body(params):
-            def body(i, carry):
-                x, s_state = carry
-                t = sampler.timesteps[i]
-                ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
-                x2 = jnp.concatenate([x, x])
-                eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
-                x, s_state = sampler.step(i, eps, x, s_state)
-                return (x.astype(compute_dtype), s_state)
-            return body
+        deltas = None
+        if lora_weights is not None:
+            from sliders_tpu.lora.merge import lora_deltas
 
-        carry = (x_T.astype(compute_dtype), sampler.init_state(x_T))
-        if lora_weights is None:
-            carry = jax.lax.fori_loop(0, n, make_body(unet_params), carry)
-        else:
-            # two fixed-params segments split at the start_noise gate
-            from sliders_tpu.lora.merge import merge_lora_weights
+            deltas = lora_deltas(lora_weights, slider_scale)
 
-            merged = merge_lora_weights(unet_params, lora_weights, slider_scale)
-            active = sampler.timesteps <= start_noise
-            boundary = jnp.where(jnp.any(active), jnp.argmax(active), n)
-            carry = jax.lax.fori_loop(0, boundary, make_body(unet_params), carry)
-            carry = jax.lax.fori_loop(boundary, n, make_body(merged), carry)
-        return carry[0]
+        def body(carry, i):
+            x, s_state = carry
+            t = sampler.timesteps[i]
+            params = unet_params
+            if deltas is not None:
+                from sliders_tpu.lora.merge import add_deltas
+
+                params = add_deltas(unet_params, deltas, jnp.where(t > start_noise, 0.0, 1.0))
+            ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
+            x2 = jnp.concatenate([x, x])
+            eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            x, s_state = sampler.step(i, eps, x, s_state)
+            return (x.astype(compute_dtype), s_state), None
+
+        (x, _), _ = jax.lax.scan(
+            body, (x_T.astype(compute_dtype), sampler.init_state(x_T)), jnp.arange(n)
+        )
+        return x
 
     return jax.jit(fn)
 

@@ -78,53 +78,49 @@ def make_sampling_fn(
                 else {k: added_cond[k] for k in ("text_embeds", "time_ids")}
             )
 
-        def make_body(params, lora):
-            def body(i, carry):
-                x, s_state = carry
-                t = sampler.timesteps[i]
-                x_in = jnp.concatenate([x, x]) if use_cfg else x
-                x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
-                eps = unet2d.apply(
-                    params, unet_cfg, x_in, t, ehs, added_cond=added, lora=lora
-                )
-                if use_cfg:
-                    eps_text = jnp.split(eps, 2, axis=0)[1]
-                    eps = cfg_combine(eps, guidance_scale)
-                    if guidance_rescale > 0:
-                        eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
-                step_key = jax.random.fold_in(key, i) if needs_step_key else None
-                x, s_state = sampler.step(i, eps, x, s_state, key=step_key)
-                return (x.astype(compute_dtype), s_state)
-            return body
+        # all paths are a single STATIC lax.scan (dynamic-trip loops pay a
+        # large per-iteration cost on this backend). Scalar slider scales
+        # gate via a precomputed full-rank delta added to the targeted
+        # weights each step (lora/merge.py add_deltas — a cheap elementwise
+        # add); vector scales use per-sample LoRA branch multipliers.
+        deltas = None
+        if lora_weights is not None and jnp.ndim(slider_scale) == 0:
+            from sliders_tpu.lora.merge import lora_deltas
 
-        carry = (latents, sampler.init_state(latents))
-        if lora_weights is None:
-            carry = jax.lax.fori_loop(0, n, make_body(unet_params, None), carry)
-        elif jnp.ndim(slider_scale) == 0:
-            # scalar scale + monotone timesteps: split the loop at the
-            # start_noise boundary so each segment runs on FIXED params —
-            # base before the gate opens, merged-weight after (zero per-step
-            # merge/branch cost; lora/merge.py rationale)
-            from sliders_tpu.lora.merge import merge_lora_weights
+            deltas = lora_deltas(lora_weights, slider_scale)
 
-            merged = merge_lora_weights(unet_params, lora_weights, slider_scale)
-            active = sampler.timesteps <= start_noise
-            boundary = jnp.where(jnp.any(active), jnp.argmax(active), n)
-            carry = jax.lax.fori_loop(0, boundary, make_body(unet_params, None), carry)
-            carry = jax.lax.fori_loop(boundary, n, make_body(merged, None), carry)
-        else:
-            # (B,) scale vector: per-sample multipliers via the branch path —
-            # one batched denoise serves a whole scale sweep
-            def vec_body(i, carry):
-                t = sampler.timesteps[i]
+        def body(carry, i):
+            x, s_state = carry
+            t = sampler.timesteps[i]
+            params, lora = unet_params, None
+            if deltas is not None:
+                from sliders_tpu.lora.merge import add_deltas
+
+                gate = jnp.where(t > start_noise, 0.0, 1.0)
+                params = add_deltas(unet_params, deltas, gate)
+            elif lora_weights is not None:
                 mult = jnp.where(t > start_noise, 0.0, slider_scale)
                 if use_cfg:
                     mult = jnp.concatenate([mult, mult])
                 lora = SliderLora(weights=lora_weights, multiplier=mult)
-                return make_body(unet_params, lora)(i, carry)
+            x_in = jnp.concatenate([x, x]) if use_cfg else x
+            x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
+            eps = unet2d.apply(
+                params, unet_cfg, x_in, t, ehs, added_cond=added, lora=lora
+            )
+            if use_cfg:
+                eps_text = jnp.split(eps, 2, axis=0)[1]
+                eps = cfg_combine(eps, guidance_scale)
+                if guidance_rescale > 0:
+                    eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            step_key = jax.random.fold_in(key, i) if needs_step_key else None
+            x, s_state = sampler.step(i, eps, x, s_state, key=step_key)
+            return (x.astype(compute_dtype), s_state), None
 
-            carry = jax.lax.fori_loop(0, n, vec_body, carry)
-        return carry[0]
+        (x, _), _ = jax.lax.scan(
+            body, (latents, sampler.init_state(latents)), jnp.arange(n)
+        )
+        return x
 
     return jax.jit(fn)
 

@@ -77,21 +77,22 @@ def make_flux_slider_step(
         ).astype(compute_dtype)
 
         # partial flow integration with the slider ON (Euler steps);
-        # merge once OUTSIDE the loop (lora/merge.py rationale)
+        # merge once OUTSIDE the loop, STATIC scan with masked updates past
+        # t_to (dynamic-trip loops pay ~55 ms/iter on this backend)
         merged_on = jax.lax.stop_gradient(
             merge_lora_weights(params, state.lora, 1.0)
         )
 
-        def body(i, carry):
-            xi = carry
+        def body(xi, i):
             t_norm = sampler.timesteps[i] / 1000.0
             v = model(
                 merged_on, None, None, xi, t_norm,
                 rep(pair["target_pooled"]), rep(pair["target_t5"]),
             )
-            return sampler.step(i, v, xi).astype(compute_dtype)
+            x_new = sampler.step(i, v, xi).astype(compute_dtype)
+            return jnp.where(i < t_to, x_new, xi), None
 
-        x = jax.lax.fori_loop(0, t_to, body, x)
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_steps - 1))
         x = jax.lax.stop_gradient(x)
         t_norm = sampler.timesteps[t_to] / 1000.0
 
