@@ -1,17 +1,51 @@
-"""Pallas TPU flash attention (blockwise streaming softmax).
+"""Pallas TPU flash attention dispatch.
 
-Placeholder dispatch for now: `supports()` returns False until the kernel
-lands, so `multihead_attention` uses the XLA path. The kernel is implemented
-in a later milestone (SURVEY.md §7.3 step 7) with f32 accumulation and
-head dims 40-160 (SD1) / 64 (SDXL/FLUX).
+Uses the production TPU flash-attention kernel that ships with JAX
+(jax.experimental.pallas.ops.tpu.flash_attention: blockwise online-softmax,
+f32 statistics, custom-VJP backward) for the UNet's big self-attention
+shapes — the layer the reference accelerates with xformers
+(train_lora.py:68). Spatial self-attention at 512px is a 4096-token
+sequence whose full (L, L) scores matrix XLA would materialize per head;
+the flash kernel streams it through VMEM.
+
+Dispatch policy (`supports`): self-attention only (q_len == kv_len),
+sequence divisible by the 128-lane block minimum and long enough to matter;
+cross-attention (77/512-token text) and tiny low-res levels stay on the XLA
+path, which is faster for small shapes.
 """
 
 from __future__ import annotations
 
+import functools
+
+MIN_SEQ = 1024  # below this the XLA path wins (scores fit comfortably)
+
 
 def supports(q_shape, k_shape) -> bool:
-    return False
+    """q/k: (B, H, L, d)."""
+    if len(q_shape) != 4:
+        return False
+    Lq, d = q_shape[2], q_shape[3]
+    Lk = k_shape[2]
+    if Lq != Lk:  # self-attention only
+        return False
+    if Lq % 128 != 0 or Lq < MIN_SEQ:
+        return False
+    # the kernel requires head_dim <= 128 or a multiple of 128
+    if d > 128 and d % 128 != 0:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel():
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa
 
 
 def flash_attention(q, k, v):
-    raise NotImplementedError("pallas flash attention lands in a later milestone")
+    """(B, H, L, d) attention with 1/sqrt(d) scaling, f32 accumulation."""
+    fa = _kernel()
+    d = q.shape[-1]
+    return fa.flash_attention(q, k, v, causal=False, sm_scale=float(d) ** -0.5)
