@@ -109,15 +109,28 @@ class TpuConfig(BaseModel):
     state_checkpoint_every: int = 0
 
 
+from pydantic import Field, model_validator
+
+
 class RootConfig(BaseModel):
     prompts_file: str
     pretrained_model: PretrainedModelConfig
-    network: NetworkConfig = NetworkConfig()
-    train: Optional[TrainConfig] = None
-    save: Optional[SaveConfig] = None
-    logging: Optional[LoggingConfig] = None
-    other: Optional[OtherConfig] = None
-    tpu: Optional[TpuConfig] = None
+    network: NetworkConfig = Field(default_factory=NetworkConfig)
+    train: TrainConfig = Field(default_factory=TrainConfig)
+    save: SaveConfig = Field(default_factory=SaveConfig)
+    logging: LoggingConfig = Field(default_factory=LoggingConfig)
+    other: OtherConfig = Field(default_factory=OtherConfig)
+    tpu: TpuConfig = Field(default_factory=TpuConfig)
+
+    @model_validator(mode="before")
+    @classmethod
+    def _null_sections_use_defaults(cls, values):
+        # a YAML `train:` with no body parses as None -> use the defaults
+        # (reference backfills missing sections, config_util.py:86-104)
+        for k in ("network", "train", "save", "logging", "other", "tpu"):
+            if k in values and values[k] is None:
+                values.pop(k)
+        return values
 
 
 def load_config_from_yaml(config_path: str) -> RootConfig:
