@@ -102,13 +102,10 @@ def make_text_slider_step(
             return jax.lax.with_sharding_constraint(x, batch_sharding)
         return x
 
-    def unet_fn(p, x, t, ehs, added):
-        """Base UNet forward on (possibly pre-merged) params. Slider scales
-        use the merged-weight fast path (lora/merge.py — the rank-4 branch is
-        ~18x slower on TPU), and merges are hoisted OUT of the denoise loop:
-        merging per loop iteration re-materializes the targeted weights every
-        step and measurably regresses throughput."""
-        return unet2d.apply(p, unet_cfg, x, t, ehs, added_cond=added, remat=remat)
+    def unet_fn(p, x, t, ehs, added, lora=None):
+        return unet2d.apply(
+            p, unet_cfg, x, t, ehs, added_cond=added, lora=lora, remat=remat
+        )
 
     def rep(e):
         """(…) -> (B, …) broadcast of a per-pair tensor."""
@@ -145,39 +142,33 @@ def make_text_slider_step(
         latents = constrain_batch(latents)
 
         # ---- 2. partial denoise, slider ON, CFG at denoise_guidance ----
-        from sliders_tpu.lora.merge import merge_lora_weights
-
-        # merge ONCE (slider multiplier 1 throughout the denoise loop)
-        merged_on = jax.lax.stop_gradient(
-            merge_lora_weights(unet_params, state.lora, 1.0)
+        # A/B/C measured on v5e (BASELINE.md): UNet loop iterations cost
+        # ~31 ms with the LoRA branch on loop-invariant base weights vs
+        # ~55 ms with merged weights carried into the loop (fresh weight
+        # buffers defeat the loop's layout assignment); a dynamic-trip loop
+        # (avg t_to ≈ max/2 iterations) beats a masked full-length scan.
+        # Hence: branch LoRA + dynamic fori.
+        lora_on = SliderLora(
+            weights=jax.lax.stop_gradient(state.lora), multiplier=jnp.asarray(1.0)
         )
         ehs_cfg = jnp.concatenate([rep(pair["unconditional"]), rep(pair["target"])])
         added_cfg = added_concat(added_from(pair, "unconditional"), added_from(pair, "target"))
 
-        # STATIC scan with masked updates past t_to: dynamic-trip while loops
-        # pay a large fixed per-iteration cost on this backend (measured
-        # ~55 ms/iter vs ~0 scan overhead), so running all max_steps-1
-        # iterations and masking is far cheaper than a dynamic loop.
-        def denoise_body(carry, i):
+        def denoise_body(i, carry):
             x, s_state = carry
             x_in = jnp.concatenate([x, x])
             x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
-            eps = unet_fn(merged_on, x_in, sampler.timesteps[i], ehs_cfg, added_cfg)
+            eps = unet_fn(
+                unet_params, x_in, sampler.timesteps[i], ehs_cfg, added_cfg, lora=lora_on
+            )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + denoise_guidance * (eps_c - eps_u)
             step_key = jax.random.fold_in(k_anc, i) if needs_step_key else None
             x_new, s_new = sampler.step(i, eps_g, x, s_state, key=step_key)
-            keep = i < t_to
-            x = jnp.where(keep, x_new.astype(compute_dtype), x)
-            s_state = jax.tree.map(
-                lambda new, old: jnp.where(keep, new, old), s_new, s_state
-            )
-            return (x, s_state), None
+            return (x_new.astype(compute_dtype), s_new)
 
-        (denoised, _), _ = jax.lax.scan(
-            denoise_body,
-            (latents, sampler.init_state(latents)),
-            jnp.arange(max_denoising_steps - 1),
+        denoised, _ = jax.lax.fori_loop(
+            0, t_to, denoise_body, (latents, sampler.init_state(latents))
         )
         denoised = jax.lax.stop_gradient(denoised)
 
@@ -206,9 +197,9 @@ def make_text_slider_step(
         added1 = added_from(pair, "target")
 
         def loss_fn(lora_weights):
-            merged = merge_lora_weights(unet_params, lora_weights, 1.0)
             eps_t = unet_fn(
-                merged, x_scaled, t_cur, rep(pair["target"]), added1
+                unet_params, x_scaled, t_cur, rep(pair["target"]), added1,
+                lora=SliderLora(weights=lora_weights, multiplier=jnp.asarray(1.0)),
             ).astype(jnp.float32)
             diff = eps_t - goal
             return jnp.mean(diff * diff)
