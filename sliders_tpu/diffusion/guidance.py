@@ -34,6 +34,24 @@ def rescale_noise_cfg(noise_cfg: jax.Array, noise_pred_text: jax.Array, guidance
     return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
 
 
+def apply_noise_offset(latents: jax.Array, noise_offset: float, key: jax.Array) -> jax.Array:
+    """Offset noise (crosslabs.org blog): adds a per-channel constant shift.
+    Defined by the reference (train_util.py:36-40) though its drivers never
+    call it; exposed here as an opt-in for training latents."""
+    B = latents.shape[0]
+    C = latents.shape[-1]
+    shift = jax.random.normal(key, (B, 1, 1, C), latents.dtype)
+    return latents + noise_offset * shift
+
+
+def compose_velocities(uncond: jax.Array, preds: jax.Array, guidance_scale) -> jax.Array:
+    """Multi-prompt composition guidance (flux train_util.diffusion
+    composition branch, flux train_util.py:178-217):
+    uncond + g * sum_i (pred_i - uncond)... the reference sums g*pred_i and
+    adds uncond once; preds: (n_prompts, B, ...)."""
+    return uncond + guidance_scale * jnp.sum(preds, axis=0)
+
+
 def train_grid_tables(schedule: DiffusionSchedule, kind: str):
     """(timestep value, model-input scale) per index of the 1000-step grid."""
     T = schedule.num_train_timesteps

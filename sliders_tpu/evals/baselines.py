@@ -74,6 +74,32 @@ def make_uce_sampling_fn(
     return jax.jit(fn)
 
 
+def apply_custom_diffusion(unet_params: dict, state: dict, unet_cross_attn_paths=None) -> dict:
+    """Custom-diffusion baseline (eval-scripts/generate_images_customdiffusion.py):
+    fine-tuned cross-attention K/V projections are loaded over the base UNet
+    (the method trains only attn2 to_k/to_v + a modifier token embedding).
+
+    `state`: flat dict of torch-layout weights keyed like
+    'down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight'
+    (any 'unet.' prefix is stripped)."""
+    flat = pytree.flatten(unet_params)
+    out = dict(flat)
+    n = 0
+    for k, w in state.items():
+        k = k.removeprefix("unet.")
+        if not (("attn2.to_k" in k or "attn2.to_v" in k) and k.endswith(".weight")):
+            continue
+        if k not in out:
+            raise KeyError(f"custom-diffusion weight {k} not in UNet")
+        import numpy as np
+
+        out[k] = jnp.asarray(np.asarray(w).T, out[k].dtype)  # (out,in)->(in,out)
+        n += 1
+    if n == 0:
+        raise ValueError("no attn2 K/V weights found in the checkpoint")
+    return pytree.unflatten(out)
+
+
 def inject_learned_token(
     te_params: dict, learned_embeddings: jnp.ndarray, token_ids: list[int]
 ) -> dict:

@@ -65,9 +65,13 @@ class PromptEmbedsCache:
         return self._cache[prompt]
 
 
-def build_pairs(settings: list[PromptSettings], cache: PromptEmbedsCache, is_xl: bool):
+def build_pairs(
+    settings: list[PromptSettings], cache: PromptEmbedsCache, is_xl: bool,
+    resolution_hw=None, dynamic_crops_key=None,
+):
     """PromptSettings -> stacked embedding pytree for the jitted step.
-    erase folds into the guidance sign (erase == enhance at −g)."""
+    erase folds into the guidance sign (erase == enhance at −g).
+    `resolution_hw` overrides per-setting resolution (dynamic buckets)."""
     pairs = []
     for s in settings:
         sign = 1.0 if s.action == "enhance" else -1.0
@@ -85,9 +89,24 @@ def build_pairs(settings: list[PromptSettings], cache: PromptEmbedsCache, is_xl:
             else:
                 pair[k] = e
         if is_xl:
-            pair["time_ids"] = t2i.get_add_time_ids(s.resolution, s.resolution)[0]
+            h, w = resolution_hw or (s.resolution, s.resolution)
+            pair["time_ids"] = t2i.get_add_time_ids(
+                h, w, dynamic_crops=s.dynamic_crops and dynamic_crops_key is not None,
+                key=dynamic_crops_key,
+            )[0]
         pairs.append(pair)
     return stack_prompt_pairs(pairs)
+
+
+def random_resolution_in_bucket(rng, bucket_resolution: int = 512) -> tuple[int, int]:
+    """Reference train_util.get_random_resolution_in_bucket
+    (train_util.py:407-419): 64-px steps in [res/2, res)."""
+    step = 64
+    min_step = bucket_resolution // 2 // step
+    max_step = bucket_resolution // step
+    h = int(rng.integers(min_step, max_step)) * step
+    w = int(rng.integers(min_step, max_step)) * step
+    return h, w
 
 
 def _state_bytes(state) -> bytes:
@@ -162,22 +181,31 @@ def train_text_sliders(
     )
 
     n_dp = 1 if mesh is None else mesh.shape["dp"]
-    steps = {}
-    bucket_pairs = {}
-    for key_, settings in buckets.items():
-        resolution, batch = key_
-        steps[key_] = make_text_slider_step(
-            models.unet_config, schedule, sampler, optimizer,
-            max_denoising_steps=config.train.max_denoising_steps,
-            resolution=resolution,
-            batch_size=batch * max(tpu.per_device_batch, 1) * n_dp,
-            compute_dtype=compute_dtype,
-            remat=tpu.remat,
-            mesh=mesh,
-            is_xl=models.is_xl,
-            donate=tpu.donate,
-        )
-        bucket_pairs[key_] = build_pairs(settings, cache, models.is_xl)
+    steps: dict = {}
+    bucket_pairs: dict = {}
+
+    def get_step(bucket_key, hw):
+        """Lazily compile one step per (bucket, resolution) — dynamic
+        resolution (train_util.py:407-419) samples a new 64-px bucket per
+        iteration; each bucket compiles once and is cached."""
+        resolution, batch = bucket_key
+        ck = (bucket_key, hw)
+        if ck not in steps:
+            steps[ck] = make_text_slider_step(
+                models.unet_config, schedule, sampler, optimizer,
+                max_denoising_steps=config.train.max_denoising_steps,
+                resolution=hw,
+                batch_size=batch * max(tpu.per_device_batch, 1) * n_dp,
+                compute_dtype=compute_dtype,
+                remat=tpu.remat,
+                mesh=mesh,
+                is_xl=models.is_xl,
+                donate=tpu.donate,
+            )
+            bucket_pairs[ck] = build_pairs(
+                buckets[bucket_key], cache, models.is_xl, resolution_hw=hw
+            )
+        return steps[ck], bucket_pairs[ck]
 
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
     if resume_from is not None:
@@ -201,14 +229,20 @@ def train_text_sliders(
     if tpu.profile_dir:
         jax.profiler.start_trace(tpu.profile_dir)
 
-    bucket_keys = list(steps.keys())
+    bucket_keys = list(buckets.keys())
     host_rng = np.random.default_rng(seed)
     t_last = time.perf_counter()
 
     start = int(state.step)
     for i in range(start, config.train.iterations):
         bk = bucket_keys[host_rng.integers(len(bucket_keys))] if len(bucket_keys) > 1 else bucket_keys[0]
-        state, metrics = steps[bk](state, models.unet_params, bucket_pairs[bk])
+        resolution, _batch = bk
+        if any(s.dynamic_resolution for s in buckets[bk]):
+            hw = random_resolution_in_bucket(host_rng, resolution)
+        else:
+            hw = (resolution, resolution)
+        step_fn, pairs_for_bucket = get_step(bk, hw)
+        state, metrics = step_fn(state, models.unet_params, pairs_for_bucket)
 
         if tpu.nan_check and not np.isfinite(float(metrics["loss"])):
             raise FloatingPointError(f"non-finite loss at step {i}: {metrics}")

@@ -89,7 +89,11 @@ def make_text_slider_step(
     step(state, unet_params, pairs) -> (new_state, metrics)."""
     ts1000, scale1000 = train_grid_tables(schedule, sampler.kind)
     grid_stride = schedule.num_train_timesteps // max_denoising_steps
-    latent_h = latent_w = resolution // 8
+    if isinstance(resolution, tuple):
+        height, width = resolution  # dynamic-resolution bucket
+    else:
+        height = width = resolution
+    latent_h, latent_w = height // 8, width // 8
     needs_step_key = sampler.kind in ("ddpm", "euler_a")
 
     if mesh is not None:
