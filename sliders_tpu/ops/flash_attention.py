@@ -31,8 +31,11 @@ def supports(q_shape, k_shape) -> bool:
         return False
     if Lq % 128 != 0 or Lq < MIN_SEQ:
         return False
-    # the kernel requires head_dim <= 128 or a multiple of 128
-    if d > 128 and d % 128 != 0:
+    # head dims that are not multiples of 128 pad onto the 128-lane registers
+    # inside the kernel (SD1's 40/80 and SDXL's 64 waste 2-3x of the MXU) —
+    # measured as a net slowdown vs the XLA path on v5e (BASELINE.md), so
+    # only 128-multiple head dims (FLUX) route to the flash kernel.
+    if d % 128 != 0:
         return False
     return True
 

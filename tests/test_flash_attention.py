@@ -10,14 +10,17 @@ from sliders_tpu.ops.attention import multihead_attention, xla_attention
 
 
 def test_supports_policy():
-    assert fa.supports((2, 8, 4096, 40), (2, 8, 4096, 40))
-    assert fa.supports((2, 10, 1024, 64), (2, 10, 1024, 64))
-    assert not fa.supports((2, 8, 4096, 40), (2, 8, 77, 40))  # cross-attn
-    assert not fa.supports((2, 8, 256, 40), (2, 8, 256, 40))  # too small
-    assert not fa.supports((2, 8, 4160, 64), (2, 8, 4160, 64))  # not /128
+    # FLUX joint attention shapes qualify (d=128)
+    assert fa.supports((2, 24, 4096, 128), (2, 24, 4096, 128))
+    assert fa.supports((1, 24, 1024, 128), (1, 24, 1024, 128))
+    # SD/SDXL head dims pad the 128-lane registers -> XLA path (measured faster)
+    assert not fa.supports((2, 8, 4096, 40), (2, 8, 4096, 40))
+    assert not fa.supports((2, 10, 1024, 64), (2, 10, 1024, 64))
+    assert not fa.supports((2, 24, 4096, 128), (2, 24, 77, 128))  # cross-attn
+    assert not fa.supports((2, 24, 256, 128), (2, 24, 256, 128))  # too small
+    assert not fa.supports((2, 24, 4160, 128), (2, 24, 4160, 128))  # not /128
     assert not fa.supports((2, 16, 64), (2, 16, 64))  # wrong rank
     assert not fa.supports((2, 8, 1024, 160), (2, 8, 1024, 160))  # bad head dim
-    assert fa.supports((2, 8, 1024, 40), (2, 8, 1024, 40))  # SD1 level-0
 
 
 @pytest.mark.parametrize("d", [64, 128])
