@@ -32,6 +32,11 @@ except Exception:
 
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
+# persistent compilation cache: the suite is dominated by XLA CPU compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sliders_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
