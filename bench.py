@@ -19,6 +19,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the SD1.5 train-step compile costs minutes
+# through the remote-compile tunnel; cache it across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sliders_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 0.5  # single A100, see BASELINE.md
 WARMUP = 2
 ITERS = 10
