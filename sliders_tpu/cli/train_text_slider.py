@@ -45,6 +45,10 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
+    from sliders_tpu.ops.attention import set_default_attention_impl
+
+    set_default_attention_impl(config.tpu.attention)
+
     dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
         config.train.precision, jnp.float32
     )

@@ -147,3 +147,21 @@ def test_flux_sampling_gating(tiny_flux):
     np.testing.assert_allclose(np.asarray(base), np.asarray(off), atol=1e-5)
     on = fn(params, packed, pooled, txt, lora, jnp.asarray(4.0), jnp.asarray(-1), jnp.asarray(1.0))
     assert np.abs(np.asarray(on) - np.asarray(base)).max() > 1e-4
+
+
+def test_flux_lora_checkpoint_roundtrip(tmp_path, tiny_flux):
+    """FLUX slider checkpoints use the same lora_unet_* convention; the
+    underscore-name resolution must handle single_transformer_blocks."""
+    from sliders_tpu.lora import io as lio
+
+    cfg, params, *_ = tiny_flux
+    lora = lnet.create_slider_network(jax.random.key(1), params, rank=2, train_method="xattn")
+    lora = jax.tree.map(lambda x: x + 0.1, lora)
+    f = str(tmp_path / "flux_slider.safetensors")
+    lio.save_slider(f, lora)
+    loaded = lio.load_slider(f, params)
+    assert set(loaded) == set(lora)
+    for m in lora:
+        np.testing.assert_allclose(
+            np.asarray(loaded[m]["down"]), np.asarray(lora[m]["down"]), atol=1e-6
+        )
