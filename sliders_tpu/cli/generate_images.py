@@ -70,7 +70,9 @@ def main(args):
     if args.xl:
         models = loader.load_sdxl(args.base, dtype=dtype, load_vae=True)
     else:
-        models = loader.load_sd(args.base, dtype=dtype, load_vae=True)
+        models = loader.load_sd(
+            args.base, v2=args.v2, clip_skip=args.clip_skip, dtype=dtype, load_vae=True
+        )
 
     weights = None
     if args.model_name:
@@ -176,6 +178,8 @@ def build_parser():
     p.add_argument("--scheduler", type=str, default="ddim", choices=["ddim", "ddpm", "lms", "euler_a"])
     p.add_argument("--precision", type=str, default="bfloat16")
     p.add_argument("--xl", action="store_true")
+    p.add_argument("--v2", action="store_true", help="SD2.x base model")
+    p.add_argument("--clip_skip", type=int, default=None)
     return p
 
 
