@@ -138,20 +138,38 @@ def main(args):
             )
             added = None
 
+        # ALL samples x ALL scales in ONE batched denoise: batch layout is
+        # sample-major [(s0,scale0), (s0,scale1), ..., (s1,scale0), ...]
+        n_total = args.num_samples * n_scales
+        lats = jnp.concatenate(
+            [
+                jnp.tile(
+                    t2i.initial_latents(
+                        jax.random.key(seed + i * 1000), 1,
+                        args.image_size, args.image_size, sampler.init_noise_sigma,
+                    ),
+                    (n_scales, 1, 1, 1),
+                )
+                for i in range(args.num_samples)
+            ]
+        )
+        cond_b = jnp.tile(cond, (n_total, 1, 1))
+        uncond_b = jnp.tile(uncond, (n_total, 1, 1))
+        scale_all = jnp.tile(scale_vec, (args.num_samples,))
+        added_b = (
+            None
+            if added is None
+            else {k: jnp.tile(v, (args.num_samples, 1)) for k, v in added.items()}
+        )
+        x = fn(
+            models.unet_params, lats, cond_b, uncond_b, weights,
+            scale_all, jnp.asarray(float(args.start_noise)),
+            jnp.asarray(float(args.guidance_scale)), jax.random.key(seed),
+            added_b,
+        )
+        imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
         for i in range(args.num_samples):
-            key = jax.random.key(seed + i * 1000)
-            lats1 = t2i.initial_latents(key, 1, args.image_size, args.image_size, sampler.init_noise_sigma)
-            lats = jnp.tile(lats1, (n_scales, 1, 1, 1))
-            cond_b = jnp.tile(cond, (n_scales, 1, 1))
-            uncond_b = jnp.tile(uncond, (n_scales, 1, 1))
-            x = fn(
-                models.unet_params, lats, cond_b, uncond_b, weights,
-                scale_vec, jnp.asarray(float(args.start_noise)),
-                jnp.asarray(float(args.guidance_scale)), jax.random.key(seed),
-                added,
-            )
-            imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
-            pil = [Image.fromarray(im) for im in imgs]
+            pil = [Image.fromarray(imgs[i * n_scales + j]) for j in range(n_scales)]
             for s_str, im in zip(scale_strs, pil):
                 im.save(os.path.join(folder_path, s_str, f"{case}_{i}.png"))
             grid = Image.new("RGB", (imgs.shape[2] * n_scales, imgs.shape[1]))

@@ -39,6 +39,7 @@ def test_generate_images_cli(snapshot, tmp_path):
             "--image_size", "64",
             "--guidance_scale", "7.5",
             "--precision", "float32",
+            "--num_samples", "2",
         ]
     )
     main(args)
@@ -47,7 +48,7 @@ def test_generate_images_cli(snapshot, tmp_path):
     for scale in ("-1", "0", "1", "all"):
         assert (run_dir / scale).is_dir(), scale
         files = os.listdir(run_dir / scale)
-        assert {"0_0.png", "1_0.png"} <= set(files)
+        assert {"0_0.png", "0_1.png", "1_0.png", "1_1.png"} <= set(files)
 
     # images decode and differ across prompts
     from PIL import Image
