@@ -61,18 +61,33 @@ def clip_scores(
         col = f"clip_{folder.replace('half', '0.5')}"
         df[col] = np.nan
         folder_path = os.path.join(im_path, folder)
-        per_case: dict[int, list[float]] = {}
-        images = sorted_nicely(os.listdir(folder_path))
-        for name in images:
+        cases_in_df = set(df["case_number"])
+        # collect then score in fixed-size batches (one compiled program)
+        names, cases = [], []
+        for name in sorted_nicely(os.listdir(folder_path)):
             try:
                 case = int(name.split("_")[0].replace(".png", ""))
             except ValueError:
                 continue
-            if case not in set(df["case_number"]):
-                continue
-            img = np.asarray(Image.open(os.path.join(folder_path, name)).convert("RGB"))
-            pixels = preprocess_images(jnp.asarray(img)[None], vision_cfg.image_size)
-            per_case.setdefault(case, []).append(float(score(pixels)[0]))
+            if case in cases_in_df:
+                names.append(name)
+                cases.append(case)
+        per_case: dict[int, list[float]] = {}
+        for start in range(0, len(names), batch_size):
+            chunk = names[start : start + batch_size]
+            imgs = np.stack(
+                [
+                    np.asarray(Image.open(os.path.join(folder_path, n)).convert("RGB"))
+                    for n in chunk
+                ]
+            )
+            pixels = preprocess_images(jnp.asarray(imgs), vision_cfg.image_size)
+            pad = batch_size - len(chunk)
+            if pad:
+                pixels = jnp.concatenate([pixels, jnp.tile(pixels[-1:], (pad, 1, 1, 1))])
+            vals = np.asarray(score(pixels))[: len(chunk)]
+            for case, v in zip(cases[start : start + batch_size], vals):
+                per_case.setdefault(case, []).append(float(v))
         for case, vals in per_case.items():
             df.loc[df["case_number"] == case, col] = np.mean(vals)
         print(f"Mean CLIP score [{folder}]: {df[col].mean()}")
