@@ -120,12 +120,23 @@ def load_sd(
     clip_skip: Optional[int] = None,
     dtype=jnp.bfloat16,
     load_vae: bool = False,
+    tokenizer_dir: Optional[str] = None,
 ) -> SDModels:
     """SD1.x / SD2.x loading (model_util.load_models equivalent). `v2` only
     affects defaults the HF config already encodes; clip_skip truncates the
-    text encoder like model_util.py:48,62 (v2 default is clip_skip 2)."""
+    text encoder like model_util.py:48,62 (v2 default is clip_skip 2).
+
+    Accepts a diffusers snapshot directory OR a single-file .ckpt /
+    .safetensors checkpoint in the original LDM layout
+    (model_util.py:111-116 dispatch); single files need `tokenizer_dir`
+    (the reference fetches the tokenizer from the hub — no hub here)."""
     if clip_skip is None and v2:
         clip_skip = 2
+    if model_dir.endswith((".ckpt", ".safetensors")):
+        return _load_sd_single_file(
+            model_dir, v2=v2, clip_skip=clip_skip, dtype=dtype,
+            load_vae=load_vae, tokenizer_dir=tokenizer_dir,
+        )
     unet_cfg = unet_config_from_hf(convert.load_component_config(model_dir, "unet"))
     unet_params = convert.cast_tree(convert.load_component(model_dir, "unet"), dtype)
     te = _load_te(model_dir, "text_encoder", "tokenizer", dtype, clip_skip=clip_skip)
@@ -200,6 +211,44 @@ def load_flux(model_dir: str, *, dtype=jnp.bfloat16, load_vae: bool = False) -> 
     if load_vae:
         bundle.vae_config = vae_config_from_hf(convert.load_component_config(model_dir, "vae"))
         bundle.vae_params = convert.cast_tree(convert.load_component(model_dir, "vae"), dtype)
+    return bundle
+
+
+def _load_sd_single_file(
+    path: str, *, v2: bool, clip_skip: Optional[int], dtype,
+    load_vae: bool, tokenizer_dir: Optional[str],
+) -> SDModels:
+    from sliders_tpu.models import clip_text, ldm_checkpoint, unet2d
+
+    if tokenizer_dir is None:
+        raise ValueError(
+            "single-file checkpoints carry no tokenizer; pass tokenizer_dir "
+            "(a local CLIP tokenizer directory with vocab.json/merges.txt)"
+        )
+    unet_cfg = unet2d.SD21 if v2 else unet2d.SD15
+    vae_cfg = vae.SD_VAE
+    unet_tree, vae_tree, text_tree = ldm_checkpoint.load_single_file(
+        path, unet_cfg, vae_cfg if load_vae else None
+    )
+    if unet_tree is None or text_tree is None:
+        raise ValueError(f"{path}: missing UNet or text-encoder weights")
+    if v2:
+        # single files store the full 24-layer OpenCLIP text tower; clip_skip
+        # (default 2 for v2) truncates at apply time, matching the reference's
+        # num_hidden_layers = 24 - (clip_skip - 1) (model_util.py:48)
+        te_cfg = dataclasses.replace(clip_text.CLIP_SD2, num_layers=24)
+    else:
+        te_cfg = clip_text.CLIP_L
+    tokenizer = ClipTokenizer.from_pretrained(tokenizer_dir)
+    tokenizer.model_max_length = te_cfg.max_positions
+    layers = te_cfg.num_layers - (clip_skip - 1) if clip_skip else None
+    te = TextEncoderBundle(
+        tokenizer, convert.cast_tree(text_tree, dtype), te_cfg, layers
+    )
+    bundle = SDModels(convert.cast_tree(unet_tree, dtype), unet_cfg, [te], is_xl=False)
+    if load_vae and vae_tree is not None:
+        bundle.vae_config = vae_cfg
+        bundle.vae_params = convert.cast_tree(vae_tree, dtype)
     return bundle
 
 
