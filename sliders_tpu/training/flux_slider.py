@@ -38,6 +38,7 @@ def make_flux_slider_step(
     transformer_guidance: float = 1.0,  # guidance EMBEDDING value during training
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
+    mesh=None,
     donate: bool = True,
     trainable_mask=None,
 ):
@@ -50,6 +51,16 @@ def make_flux_slider_step(
     l_img = (latent_hw // 2) * (latent_hw // 2)
     img_ids = jnp.asarray(flux.image_ids(latent_hw, latent_hw))
     n_steps = sampler.num_steps
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def constrain_batch(x):
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(x, batch_sharding)
+        return x
 
     def model(params, lora_weights, mult, x, t_norm, pooled, txt):
         p = merge_lora_weights(params, lora_weights, mult) if mult is not None else params
@@ -72,9 +83,11 @@ def make_flux_slider_step(
         pair = jax.tree.map(lambda a: a[idx], pairs)
         t_to = jax.random.randint(k_t, (), 1, n_steps)
 
-        x = jax.random.normal(
-            k_lat, (batch_size, l_img, cfg.in_channels)
-        ).astype(compute_dtype)
+        x = constrain_batch(
+            jax.random.normal(
+                k_lat, (batch_size, l_img, cfg.in_channels)
+            ).astype(compute_dtype)
+        )
 
         # partial flow integration with the slider ON (Euler steps);
         # merge once OUTSIDE the loop, STATIC scan with masked updates past

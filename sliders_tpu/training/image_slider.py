@@ -51,6 +51,7 @@ def make_image_slider_step(
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
     is_xl: bool = False,
+    mesh=None,
     donate: bool = True,
 ):
     """step(state, unet_params, vae_params, batch) -> (new_state, metrics).
@@ -63,6 +64,16 @@ def make_image_slider_step(
     """
     ts1000, scale1000 = train_grid_tables(schedule, sampler.kind)
     grid_stride = schedule.num_train_timesteps // max_denoising_steps
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def constrain_batch(x):
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(x, batch_sharding)
+        return x
 
     def unet_fn(unet_params, x, t, ehs, mult, lora_weights, added):
         lora = SliderLora(weights=lora_weights, multiplier=mult)
@@ -80,9 +91,11 @@ def make_image_slider_step(
         # VAE-encode both sides in one batch-2B call; posterior noise is
         # independent per image, the ADDED noise is shared within a pair
         # (reference re-seeds only randn_tensor, train_lora-scale.py:222-246)
-        imgs = jnp.concatenate(
-            [batch["images_high"], batch["images_low"]]
-        ).astype(jnp.float32)
+        imgs = constrain_batch(
+            jnp.concatenate(
+                [batch["images_high"], batch["images_low"]]
+            ).astype(jnp.float32)
+        )
         mean, logvar = vae.encode(vae_params, vae_cfg, imgs)
         lat = vae.normalize_latents(vae_cfg, vae.sample_latents(mean, logvar, k_post))
 
@@ -93,7 +106,7 @@ def make_image_slider_step(
 
         t_idx = t_to * grid_stride
         t_cur = ts1000[t_idx]
-        x_in = (noisy * scale1000[t_idx]).astype(compute_dtype)
+        x_in = constrain_batch((noisy * scale1000[t_idx]).astype(compute_dtype))
 
         def rep(e):
             return jnp.broadcast_to(e, (B,) + e.shape).astype(compute_dtype)
