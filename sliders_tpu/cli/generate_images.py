@@ -21,23 +21,65 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 
 import numpy as np
 
 
-def infer_params_from_name(name: str) -> dict:
-    """Reference filename-convention parsing (generate_images_sd1.py:80-104)."""
-    out = {"train_method": "noxattn", "rank": 4, "alpha": 1.0}
-    for method in (
+DEFAULT_SCALES = [-2.0, -1.0, 0.0, 1.0, 2.0]
+HSPACE_SCALES = [-5.0, -2.0, -1.0, 0.0, 1.0, 2.0, 5.0]
+
+
+def infer_params_from_name(model_path: str) -> dict:
+    """Reference checkpoint-layout hyperparam parsing
+    (eval-scripts/generate_images_sd1.py:78-91).
+
+    The reference reads the PARENT directory name
+    (`model_name.split('/')[-2]`, i.e. models/<run_name>/<ckpt>.pt) and
+    composes the train method from fragments: base 'xattn', overridden to
+    'noxattn' if present, then '-hspace' / '-last' appended; hspace/last
+    checkpoints auto-widen the scale sweep to [-5,-2,-1,0,1,2,5]. We extend
+    this with basename fallback (our own save convention mangles
+    `_alpha{a}_rank{r}_{method}` into the FILE name) and rank/alpha token
+    parsing from either component.
+    """
+    parent = os.path.basename(os.path.dirname(os.path.abspath(model_path)))
+    base = os.path.basename(model_path).replace(".safetensors", "").replace(".pt", "")
+    # our own save convention suffixes the FILE with _last / _{i}steps
+    # (lora/io.py) — strip those so they don't false-trigger the reference's
+    # 'last' (hspace-last) fragment, which lives in the method name
+    base = re.sub(r"_(last|\d+steps)$", "", base)
+    fragments = ("xattn", "hspace", "last", "full", "selfattn")
+    n = parent if any(f in parent for f in fragments) else base
+
+    # exact method token first (our mangled basenames / explicit run names)
+    out = {"rank": 4, "alpha": 1.0, "scales": list(DEFAULT_SCALES)}
+    method = None
+    for m in (
         "noxattn-hspace-last", "noxattn-hspace", "xattn-strict", "innoxattn",
         "noxattn", "selfattn", "xattn", "full",
     ):
-        if method in name:
-            out["train_method"] = method
+        if m in n.replace("_", "-") and m in ("noxattn-hspace-last", "noxattn-hspace"):
+            method = m
             break
-    network_type = "c3lier" if out["train_method"] in ("noxattn-hspace", "noxattn-hspace-last") else "lierla"
-    out["network_type"] = network_type
-    for token in os.path.basename(name).replace(".safetensors", "").replace(".pt", "").split("_"):
+        if f"_{m}" in n or n == m:
+            method = m
+            break
+    if method is None:
+        # reference fragment composition (generate_images_sd1.py:80-91)
+        method = "xattn"
+        if "noxattn" in n:
+            method = "noxattn"
+        if "hspace" in n:
+            method += "-hspace"
+        if "last" in n:
+            method += "-last"
+    if "hspace" in n or "last" in n:
+        out["scales"] = list(HSPACE_SCALES)
+    out["train_method"] = method
+    out["network_type"] = "lierla" if method == "xattn" else "c3lier"
+
+    for token in (parent + "_" + base).split("_"):
         if token.startswith("rank"):
             try:
                 out["rank"] = int(token[4:])
@@ -64,7 +106,6 @@ def main(args):
 
     import pandas as pd
 
-    scales = [float(s) for s in args.scales.split(",")]
     dtype = jnp.bfloat16 if args.precision in ("bf16", "bfloat16") else jnp.float32
 
     if args.xl:
@@ -75,13 +116,29 @@ def main(args):
         )
 
     weights = None
+    inferred_scales = list(DEFAULT_SCALES)
     if args.model_name:
         weights = lora_io.load_slider(args.model_name, models.unet_params)
         meta_path = args.model_name.rsplit("_", 1)[0] + "_metadata.json"
         if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            method = meta.get("config", {}).get("network", {}).get("training_method", "")
+            if "hspace" in method or "last" in method:
+                inferred_scales = list(HSPACE_SCALES)
             print(f"slider hyperparams from {meta_path}")
         else:
-            print(f"slider hyperparams from filename: {infer_params_from_name(args.model_name)}")
+            inferred = infer_params_from_name(args.model_name)
+            inferred_scales = inferred["scales"]
+            print(f"slider hyperparams from checkpoint path: {inferred}")
+
+    # reference behavior: hspace/last sliders auto-widen the sweep to +-5
+    # (generate_images_sd1.py:84-89) unless the user passed --scales
+    scales = (
+        [float(s) for s in args.scales.split(",")]
+        if args.scales is not None
+        else inferred_scales
+    )
 
     schedule = make_schedule()
     sampler = make_sampler(schedule, args.scheduler, args.ddim_steps)
@@ -192,7 +249,10 @@ def build_parser():
     p.add_argument("--from_case", type=int, default=0)
     p.add_argument("--till_case", type=int, default=1000000)
     p.add_argument("--start_noise", type=int, default=750)
-    p.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    p.add_argument(
+        "--scales", type=str, default=None,
+        help="comma-separated sweep; default [-2..2], auto-widened to +-5 for hspace/last sliders",
+    )
     p.add_argument("--scheduler", type=str, default="ddim", choices=["ddim", "ddpm", "lms", "euler_a"])
     p.add_argument("--precision", type=str, default="bfloat16")
     p.add_argument("--xl", action="store_true")

@@ -10,10 +10,19 @@
 - Textual inversion: a learned token embedding injected into the prompt
   (eval-scripts/generate_images_textinversion.py:20-36): we splice the
   learned vector(s) into the token-embedding matrix under a placeholder id.
+  The XL variant writes the {'emb','emb2'} pair into BOTH encoders
+  (eval-scripts/generate_images_textinversion_xl.py:9-27).
+
+- Custom diffusion: a delta checkpoint holding fine-tuned attn2 projections
+  (K/V for 'crossattn_kv', all of attn2 for 'crossattn', optionally
+  low-rank-compressed as additive u@v) plus modifier-token embeddings for
+  both encoders, added as NEW tokens to both tokenizers
+  (eval-scripts/generate_images_customdiffusion.py:688-785 load_model).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -74,10 +83,42 @@ def make_uce_sampling_fn(
     return jax.jit(fn)
 
 
-def apply_custom_diffusion(unet_params: dict, state: dict, unet_cross_attn_paths=None) -> dict:
-    """Custom-diffusion baseline (eval-scripts/generate_images_customdiffusion.py):
-    fine-tuned cross-attention K/V projections are loaded over the base UNet
-    (the method trains only attn2 to_k/to_v + a modifier token embedding).
+def load_uce_unet(checkpoint_path: str, old_params: dict) -> dict:
+    """Ingest a UCE-edited torch UNet state_dict (.pt) into our param tree.
+
+    The reference consumes full diffusers-UNet state_dicts saved by the UCE
+    editing code and interpolates them against the original weights
+    (eval-scripts/generate_images-uce.py:193-215). We torch.load the file,
+    run the standard layout conversion (models/convert.py), and validate the
+    tree matches `old_params` leafwise."""
+    import torch
+
+    from sliders_tpu.models.convert import convert_state_dict
+
+    state = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    edited = convert_state_dict(
+        {k: v.float().numpy() for k, v in state.items()}
+    )
+    old_flat = pytree.flatten(old_params)
+    new_flat = pytree.flatten(edited)
+    missing = set(old_flat) - set(new_flat)
+    if missing:
+        raise KeyError(f"UCE checkpoint is missing {len(missing)} UNet params, e.g. {sorted(missing)[:3]}")
+    out = {
+        k: jnp.asarray(new_flat[k], old_flat[k].dtype) for k in old_flat
+    }
+    return pytree.unflatten(out)
+
+
+def apply_custom_diffusion(unet_params: dict, state: dict, compress: bool = False) -> dict:
+    """Custom-diffusion baseline UNet deltas
+    (eval-scripts/generate_images_customdiffusion.py:781-785): fine-tuned
+    attn2 projections loaded over the base UNet — K/V for the
+    'crossattn_kv' freeze mode, all attn2 params for 'crossattn'. With
+    `compress`, to_k/to_v entries are {'u','v'} low-rank factors applied
+    ADDITIVELY: param += u @ v (torch layout).
 
     `state`: flat dict of torch-layout weights keyed like
     'down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight'
@@ -87,17 +128,100 @@ def apply_custom_diffusion(unet_params: dict, state: dict, unet_cross_attn_paths
     n = 0
     for k, w in state.items():
         k = k.removeprefix("unet.")
-        if not (("attn2.to_k" in k or "attn2.to_v" in k) and k.endswith(".weight")):
+        if "attn2" not in k:
             continue
         if k not in out:
             raise KeyError(f"custom-diffusion weight {k} not in UNet")
-        import numpy as np
-
-        out[k] = jnp.asarray(np.asarray(w).T, out[k].dtype)  # (out,in)->(in,out)
+        cur = out[k]
+        if compress and isinstance(w, dict):  # {'u','v'} additive low-rank
+            delta = np.asarray(w["u"]) @ np.asarray(w["v"])
+            out[k] = cur + jnp.asarray(delta.T, cur.dtype)
+        elif k.endswith(".weight") and np.asarray(w).ndim == 2:
+            out[k] = jnp.asarray(np.asarray(w).T, cur.dtype)  # (out,in)->(in,out)
+        else:
+            out[k] = jnp.asarray(np.asarray(w), cur.dtype)  # biases / norms
         n += 1
     if n == 0:
-        raise ValueError("no attn2 K/V weights found in the checkpoint")
+        raise ValueError("no attn2 weights found in the checkpoint")
     return pytree.unflatten(out)
+
+
+def resize_token_embeddings(te_params: dict, new_size: int) -> dict:
+    """Grow the token-embedding matrix to `new_size` rows (new rows zero) —
+    the JAX equivalent of text_encoder.resize_token_embeddings after
+    tokenizer.add_tokens (generate_images_customdiffusion.py:769-772)."""
+    flat = dict(pytree.flatten(te_params))
+    key = "text_model.embeddings.token_embedding.weight"
+    emb = flat[key]
+    if new_size < emb.shape[0]:
+        raise ValueError(f"cannot shrink embeddings {emb.shape[0]} -> {new_size}")
+    if new_size > emb.shape[0]:
+        pad = jnp.zeros((new_size - emb.shape[0], emb.shape[1]), emb.dtype)
+        flat[key] = jnp.concatenate([emb, pad], axis=0)
+    return pytree.unflatten(flat)
+
+
+def load_custom_diffusion(
+    checkpoint_path: str,
+    unet_params: dict,
+    tokenizers: list,
+    te_params_list: list[dict],
+    compress: bool = False,
+) -> tuple[dict, list[dict]]:
+    """Full custom-diffusion checkpoint load: the runnable composition of
+    attn2 deltas + modifier tokens the reference's `load_model` performs
+    (generate_images_customdiffusion.py:749-785).
+
+    The delta dict (torch.save format) holds:
+      'unet': {param_name: tensor | {'u','v'}} attn2 deltas;
+      'modifier_token': {token: [emb_for_encoder1, emb_for_encoder2, ...]};
+      optionally 'text_encoder'/'text_encoder_2' full state dicts (not
+      supported here — raise).
+
+    Mutates the tokenizers (add_tokens) and returns
+    (new_unet_params, new_te_params_list)."""
+    import torch
+
+    st = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if "text_encoder" in st:
+        raise NotImplementedError("full text-encoder custom-diffusion checkpoints")
+
+    te_params_list = list(te_params_list)
+    for token, embs in st.get("modifier_token", {}).items():
+        for i, tok in enumerate(tokenizers):
+            if tok.add_tokens(token) == 0:
+                raise ValueError(f"tokenizer already contains {token!r}")
+            tid = tok.convert_tokens_to_ids(token)
+            te_params_list[i] = resize_token_embeddings(te_params_list[i], len(tok))
+            te_params_list[i] = inject_learned_token(
+                te_params_list[i], jnp.asarray(np.asarray(embs[i].float())), [tid]
+            )
+
+    unet_state = {k: (v if isinstance(v, dict) else v.float().numpy())
+                  for k, v in st.get("unet", {}).items()}
+    if unet_state:
+        unet_params = apply_custom_diffusion(unet_params, unet_state, compress=compress)
+    return unet_params, te_params_list
+
+
+def inject_learned_token_xl(
+    te_params_list: list[dict],
+    tokenizers: list,
+    emb_dict: dict,
+    token: str = "my",
+) -> list[dict]:
+    """XL textual-inversion baseline: write the learned {'emb','emb2'} pair
+    into BOTH encoders' embedding rows for `token`
+    (eval-scripts/generate_images_textinversion_xl.py:9-27 set_XLembedding).
+    `token` must already be a single token in both tokenizers."""
+    out = []
+    for i, (tok, te_params) in enumerate(zip(tokenizers, te_params_list)):
+        ids = tok.tokenize(token)
+        if len(ids) != 1:
+            raise ValueError(f"token {token!r} is not a single token in tokenizer {i}")
+        emb = jnp.asarray(np.asarray(emb_dict["emb" if i == 0 else "emb2"]))
+        out.append(inject_learned_token(te_params, emb, [int(ids[0])]))
+    return out
 
 
 def inject_learned_token(

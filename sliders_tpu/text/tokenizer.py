@@ -60,6 +60,9 @@ class ClipTokenizer:
         self.eos_token_id = vocab[eos_token]
         self.pad_token_id = self.eos_token_id if pad_token_id is None else pad_token_id
         self.cache = {bos_token: bos_token, eos_token: eos_token}
+        # user-added tokens (custom-diffusion modifier tokens etc.), matched
+        # whole before BPE — mirrors HF tokenizer.add_tokens semantics
+        self.added_tokens: dict[str, int] = {}
 
     @classmethod
     def from_pretrained(cls, path: str, pad_token_id: Optional[int] = None) -> "ClipTokenizer":
@@ -104,12 +107,42 @@ class ClipTokenizer:
         self.cache[token] = out
         return out
 
+    def __len__(self) -> int:
+        return len(self.vocab) + len(self.added_tokens)
+
+    def add_tokens(self, token: str) -> int:
+        """Register a new whole-word token (e.g. a custom-diffusion modifier
+        token like '<sks-eyebrows>'); returns the number added (0 if it
+        already exists, matching HF `tokenizer.add_tokens`). The new id is
+        `len(tokenizer) - 1` — callers must grow the embedding matrix."""
+        token = token.strip().lower()
+        if token in self.vocab or token in self.added_tokens:
+            return 0
+        self.added_tokens[token] = len(self.vocab) + len(self.added_tokens)
+        return 1
+
+    def convert_tokens_to_ids(self, token: str):
+        token = token.strip().lower()
+        if token in self.added_tokens:
+            return self.added_tokens[token]
+        ids = self.tokenize(token)
+        return ids[0] if len(ids) == 1 else ids
+
     def tokenize(self, text: str) -> list[int]:
         text = re.sub(r"\s+", " ", text.strip()).lower()
         ids: list[int] = []
-        for tok in _PAT.findall(text):
-            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            ids.extend(self.vocab[t] for t in self._bpe(tok).split(" "))
+        chunks = [text]
+        if self.added_tokens:
+            # split out added tokens first so they bypass BPE
+            pat = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+            chunks = re.split(pat, text)
+        for chunk in chunks:
+            if chunk in self.added_tokens:
+                ids.append(self.added_tokens[chunk])
+                continue
+            for tok in _PAT.findall(chunk):
+                tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                ids.extend(self.vocab[t] for t in self._bpe(tok).split(" "))
         return ids
 
     def __call__(self, prompts: List[str] | str, max_length: Optional[int] = None) -> np.ndarray:

@@ -67,7 +67,7 @@ class PromptEmbedsCache:
 
 def build_pairs(
     settings: list[PromptSettings], cache: PromptEmbedsCache, is_xl: bool,
-    resolution_hw=None, dynamic_crops_key=None,
+    resolution_hw=None,
 ):
     """PromptSettings -> stacked embedding pytree for the jitted step.
     erase folds into the guidance sign (erase == enhance at −g).
@@ -90,10 +90,11 @@ def build_pairs(
                 pair[k] = e
         if is_xl:
             h, w = resolution_hw or (s.resolution, s.resolution)
-            pair["time_ids"] = t2i.get_add_time_ids(
-                h, w, dynamic_crops=s.dynamic_crops and dynamic_crops_key is not None,
-                key=dynamic_crops_key,
-            )[0]
+            pair["time_ids"] = t2i.get_add_time_ids(h, w)[0]
+            # per-iteration crop resampling happens INSIDE the jitted step
+            # (text_slider.py) when this flag is set, matching the reference
+            # calling get_add_time_ids every iteration (train_lora_xl.py:198)
+            pair["dynamic_crops"] = jnp.asarray(float(s.dynamic_crops))
         pairs.append(pair)
     return stack_prompt_pairs(pairs)
 

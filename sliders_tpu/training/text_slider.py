@@ -132,12 +132,24 @@ def make_text_slider_step(
 
     def step_fn(state: SliderTrainState, unet_params: dict, pairs: dict):
         key = jax.random.fold_in(state.key, state.step)
-        k_pair, k_t, k_lat, k_anc = jax.random.split(key, 4)
+        k_pair, k_t, k_lat, k_anc, k_crop = jax.random.split(key, 5)
 
         n_pairs = pairs["target"].shape[0]
         idx = jax.random.randint(k_pair, (), 0, n_pairs)
         pair = jax.tree.map(lambda a: a[idx], pairs)
         t_to = jax.random.randint(k_t, (), 1, max_denoising_steps)
+
+        if is_xl and "dynamic_crops" in pair:
+            # reference resamples the crop EVERY iteration when the prompt
+            # sets dynamic_crops (train_lora_xl.py:198-203); one crop per
+            # iteration, shared by all four prompt roles
+            from sliders_tpu.pipelines.text2image import get_add_time_ids
+
+            dyn_ids = get_add_time_ids(height, width, dynamic_crops=True, key=k_crop)[0]
+            pair = dict(pair)
+            pair["time_ids"] = jnp.where(
+                pair["dynamic_crops"] > 0, dyn_ids.astype(pair["time_ids"].dtype), pair["time_ids"]
+            )
 
         latents = (
             jax.random.normal(k_lat, (batch_size, latent_h, latent_w, unet_cfg.in_channels))

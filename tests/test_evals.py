@@ -130,9 +130,11 @@ def test_infer_params_from_name():
     from sliders_tpu.cli.generate_images import infer_params_from_name
 
     p = infer_params_from_name("age_slider_alpha1.0_rank4_noxattn_last.safetensors")
-    assert p == {
-        "train_method": "noxattn", "rank": 4, "alpha": 1.0, "network_type": "lierla"
-    }
+    assert p["train_method"] == "noxattn"
+    assert p["rank"] == 4 and p["alpha"] == 1.0
+    # reference: network_type is c3lier for everything except plain xattn
+    # (generate_images_sd1.py:92-94)
+    assert p["network_type"] == "c3lier"
     p2 = infer_params_from_name("x_alpha8.0_rank16_noxattn-hspace_500steps.pt")
     assert p2["train_method"] == "noxattn-hspace"
     assert p2["rank"] == 16 and p2["alpha"] == 8.0
