@@ -57,6 +57,17 @@ def main(args):
     dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
     models = loader.load_flux(config.pretrained_model.name_or_path, dtype=dtype)
 
+    from sliders_tpu.parallel import mesh as pmesh
+
+    mesh = None
+    if len(jax.devices()) > 1 or config.tpu.tp > 1:
+        mesh = pmesh.make_mesh(dp=config.tpu.dp, tp=config.tpu.tp)
+        if prompts[0].batch_size % mesh.shape["dp"] != 0:
+            mesh = pmesh.make_mesh(dp=1, tp=config.tpu.tp)
+        models.transformer_params = pmesh.shard_params(
+            mesh, models.transformer_params, tp_enabled=config.tpu.tp > 1
+        )
+
     # ortho-up frozen init for non-'full' methods (flux lora.py:52-69,120-126)
     ortho = config.network.training_method != "full"
     lora = lnet.create_slider_network(
@@ -90,6 +101,7 @@ def main(args):
         transformer_guidance=args.transformer_guidance,
         compute_dtype=dtype,
         remat=config.tpu.remat,
+        mesh=mesh,
         donate=config.tpu.donate,
         trainable_mask=mask,
     )

@@ -35,9 +35,23 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
     from sliders_tpu.training.image_slider import make_image_slider_step
     from sliders_tpu.training.text_slider import SliderTrainState
 
+    from sliders_tpu.parallel import mesh as pmesh
+
     dataset = PairedImageFolders(folder_main, folders, scales)
     cache = PromptEmbedsCache(models)
     settings = prompts[0]  # reference samples one prompt set per run
+
+    # dp mesh over the fused +-s batch (2 images per pair); tp shards the
+    # attention/ff matmuls (parallel/mesh.py rules)
+    mesh = None
+    if len(jax.devices()) > 1 or config.tpu.tp > 1:
+        mesh = pmesh.make_mesh(dp=config.tpu.dp, tp=config.tpu.tp)
+        if 2 % mesh.shape["dp"] != 0:  # batch is 2*B with B=1
+            mesh = pmesh.make_mesh(dp=1, tp=config.tpu.tp)
+        models.unet_params = pmesh.shard_params(
+            mesh, models.unet_params, tp_enabled=config.tpu.tp > 1
+        )
+        models.vae_params = pmesh.replicate(mesh, models.vae_params)
 
     schedule = make_schedule(
         prediction_type="v_prediction" if config.pretrained_model.v_pred else "epsilon"
@@ -71,6 +85,7 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
         compute_dtype=compute_dtype,
         remat=config.tpu.remat,
         is_xl=models.is_xl,
+        mesh=mesh,
         donate=config.tpu.donate,
     )
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)

@@ -155,7 +155,7 @@ def _attention(p: dict, x: jax.Array, context: Optional[jax.Array], heads: int, 
     q = linear(p["to_q"], x, lora=lora, name=f"{name}.to_q")
     k = linear(p["to_k"], ctx, lora=lora, name=f"{name}.to_k")
     v = linear(p["to_v"], ctx, lora=lora, name=f"{name}.to_v")
-    out = multihead_attention(q, k, v, heads)
+    out = multihead_attention(q, k, v, heads, name=name)
     return linear(p["to_out"]["0"], out, lora=lora, name=f"{name}.to_out.0")
 
 

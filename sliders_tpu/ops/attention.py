@@ -25,6 +25,45 @@ def set_default_attention_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
+# ---------------------------------------------------------------------------
+# attention-probability taps (prompt-to-prompt attention control)
+# ---------------------------------------------------------------------------
+
+_ACTIVE_TAP = None
+
+
+class AttentionTap:
+    """Functional equivalent of the reference's attention-controller rewiring
+    (trainscripts/textsliders/ptp_utils.py:173-240 register_attention_control):
+    while active, every named attention call stores its softmax probabilities
+    (B, H, Lq, Lkv) into `store` under the call-site path. Forces the XLA
+    path (the flash kernels never materialize probs).
+
+    Use inside ONE trace: run the model under `with AttentionTap() as tap:`
+    and return `tap.store` from the traced function
+    (pipelines/attention_control.py wraps this)."""
+
+    def __init__(self, filter_fn=None):
+        self.store: dict = {}
+        self.filter_fn = filter_fn
+
+    def __enter__(self):
+        global _ACTIVE_TAP
+        self._prev = _ACTIVE_TAP
+        _ACTIVE_TAP = self
+        return self
+
+    def __exit__(self, *exc):
+        global _ACTIVE_TAP
+        _ACTIVE_TAP = self._prev
+        return False
+
+    def wants(self, name) -> bool:
+        if name is None:
+            return False
+        return self.filter_fn is None or self.filter_fn(name)
+
+
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     B, L, D = x.shape
     return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
@@ -35,10 +74,9 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(B, L, H * d)
 
 
-def xla_attention(
+def _xla_attention_probs(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array] = None
-) -> jax.Array:
-    """(B, H, L, d) attention; logits/softmax in f32 for bf16 stability."""
+) -> tuple[jax.Array, jax.Array]:
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     logits = jnp.einsum(
@@ -47,7 +85,14 @@ def xla_attention(
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v), weights
+
+
+def xla_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """(B, H, L, d) attention; logits/softmax in f32 for bf16 stability."""
+    return _xla_attention_probs(q, k, v, mask)[0]
 
 
 def _use_pallas(q: jax.Array, k: jax.Array, mask) -> bool:
@@ -60,6 +105,16 @@ def _use_pallas(q: jax.Array, k: jax.Array, mask) -> bool:
     return fa.supports(q.shape, k.shape)
 
 
+def _use_sd_kernel(q: jax.Array, k: jax.Array, mask) -> bool:
+    if mask is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from sliders_tpu.ops import pallas_attention as pa
+
+    return pa.supports(q.shape, k.shape)
+
+
 def multihead_attention(
     q: jax.Array,
     k: jax.Array,
@@ -67,14 +122,24 @@ def multihead_attention(
     num_heads: int,
     mask: Optional[jax.Array] = None,
     impl: Optional[str] = None,
+    name: Optional[str] = None,
 ) -> jax.Array:
     """q: (B, Lq, D); k, v: (B, Lkv, D_kv with D_kv == D). Returns (B, Lq, D).
 
-    `mask` is additive, broadcastable to (B, H, Lq, Lkv).
+    `mask` is additive, broadcastable to (B, H, Lq, Lkv). `name` is the
+    call-site path; when an AttentionTap is active it keys the stored probs.
     """
     impl = impl or _DEFAULT_IMPL
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
-    if impl == "pallas" or (impl == "auto" and _use_pallas(qh, kh, mask)):
+    if _ACTIVE_TAP is not None and _ACTIVE_TAP.wants(name):
+        out, probs = _xla_attention_probs(qh, kh, vh, mask)
+        _ACTIVE_TAP.store[name] = probs
+        return _merge_heads(out)
+    if impl == "auto" and _use_sd_kernel(qh, kh, mask):
+        from sliders_tpu.ops import pallas_attention as pa
+
+        out = pa.sd_attention(qh, kh, vh)
+    elif impl == "pallas" or (impl == "auto" and _use_pallas(qh, kh, mask)):
         from sliders_tpu.ops import flash_attention as fa
 
         out = fa.flash_attention(qh, kh, vh)

@@ -22,7 +22,11 @@ MIN_SEQ = 1024  # below this the XLA path wins (scores fit comfortably)
 
 
 def supports(q_shape, k_shape) -> bool:
-    """q/k: (B, H, L, d)."""
+    """q/k: (B, H, L, d). Shapes for the STOCK jax flash kernel: long
+    sequences with 128-multiple head dims (FLUX d=128). SD/SDXL head dims
+    (40/64/80) route to ops/pallas_attention.sd_attention instead — the
+    stock kernel's online-softmax blocking measured as a net slowdown there
+    (round-1 bench 1.01 -> 0.60 steps/s, BASELINE.md)."""
     if len(q_shape) != 4:
         return False
     Lq, d = q_shape[2], q_shape[3]
@@ -31,10 +35,6 @@ def supports(q_shape, k_shape) -> bool:
         return False
     if Lq % 128 != 0 or Lq < MIN_SEQ:
         return False
-    # head dims that are not multiples of 128 pad onto the 128-lane registers
-    # inside the kernel (SD1's 40/80 and SDXL's 64 waste 2-3x of the MXU) —
-    # measured as a net slowdown vs the XLA path on v5e (BASELINE.md), so
-    # only 128-multiple head dims (FLUX) route to the flash kernel.
     if d % 128 != 0:
         return False
     return True

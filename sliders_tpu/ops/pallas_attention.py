@@ -1,0 +1,133 @@
+"""Custom Pallas TPU attention kernel for the SD/SDXL head dims.
+
+Replaces the role of xformers in the reference
+(trainscripts/textsliders/train_lora.py:68) on the shapes the stock JAX
+flash kernel handles badly: spatial self-attention with head dims 40/64/80
+(SD1.5 levels 0/1, SDXL levels 1/2) at 1024-4096 tokens.
+
+Why XLA loses here (measured, v5e trace 2026-08-16 — BASELINE.md): XLA
+materializes the f32 (L, L) score matrix in HBM per head; at L=4096 that is
+3.2 GB of HBM traffic per softmax fusion (~4.7 ms each), and the five
+level-0 self-attentions account for ~38 ms of a ~54 ms SD1.5 forward.
+
+Why the stock flash kernel ALSO lost (round-1 bench 1.01 -> 0.60 steps/s):
+its three-pass grid and online-softmax bookkeeping are sized for long
+sequences with d>=128; at d=40 its blocking pads everything and the
+overhead dominates.
+
+This kernel exploits that K and V for these shapes fit ENTIRELY in VMEM
+(4096 x 128 bf16 = 1 MB): grid over (batch*heads, q blocks), each program
+computes scores for a (block_q, L) tile in f32, takes an exact (not online)
+softmax over the full key axis, and multiplies by V — one HBM read of
+Q/K/V, one write of O, zero score-matrix traffic. Head dims are zero-padded
+to the 128 MXU lanes outside the kernel (attention FLOPs are small; HBM was
+the bottleneck).
+
+Backward: jax.custom_vjp with XLA-recompute (ops/attention.xla_attention is
+the reference numerics). Only the single grad pass per train iteration pays
+it; the partial-denoise loop, frozen eps passes, and all sampling are
+forward-only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK_Q = 512
+LANES = 128
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (block_q, dp)
+    k = k_ref[0]  # (L_kv, dp)
+    v = v_ref[0]  # (L_kv, dp)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pad_lanes(x, d_pad):
+    d = x.shape[-1]
+    if d == d_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - d)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sd_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+    """(B, H, L, d) self-attention with 1/sqrt(d) softmax scaling.
+
+    Exact softmax over the full key axis (reference numerics: f32 logits +
+    softmax, ops/attention.xla_attention), computed blockwise in VMEM.
+    """
+    return _sd_attention_impl(q, k, v, block_q, interpret)
+
+
+def _sd_attention_impl(q, k, v, block_q, interpret):
+    b, h, lq, d = q.shape
+    scale = float(d) ** -0.5
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+    qp = _pad_lanes(q, d_pad).reshape(b * h, lq, d_pad)
+    kp = _pad_lanes(k, d_pad).reshape(b * h, k.shape[2], d_pad)
+    vp = _pad_lanes(v, d_pad).reshape(b * h, v.shape[2], d_pad)
+
+    from jax.experimental import pallas as pl
+
+    lkv = kp.shape[1]
+    block_q = min(block_q, lq)
+    grid = (b * h, lq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, lq, d_pad)[..., :d]
+
+
+def _sd_attention_fwd(q, k, v, block_q, interpret):
+    return _sd_attention_impl(q, k, v, block_q, interpret), (q, k, v)
+
+
+def _sd_attention_bwd(block_q, interpret, res, g):
+    # XLA-recompute backward: differentiate the reference-numerics attention.
+    # Paid only by the one grad pass per train iteration.
+    from sliders_tpu.ops.attention import xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(xla_attention, q, k, v)
+    return vjp(g)
+
+
+sd_attention.defvjp(_sd_attention_fwd, _sd_attention_bwd)
+
+
+def supports(q_shape, k_shape, min_seq: int = 1024, max_kv: int = 4096) -> bool:
+    """Shapes this kernel should take over from XLA: long spatial
+    self-attention (q_len == kv_len), whole K/V resident per program."""
+    if len(q_shape) != 4:
+        return False
+    lq, d = q_shape[2], q_shape[3]
+    lk = k_shape[2]
+    if lq != lk or lq < min_seq or lq > max_kv:
+        return False
+    if lq % DEFAULT_BLOCK_Q != 0:
+        return False
+    if d >= LANES:  # d in (40, 64, 80); 128-multiples go to the stock kernel
+        return False
+    return True

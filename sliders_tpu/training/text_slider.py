@@ -84,6 +84,7 @@ def make_text_slider_step(
     mesh=None,
     is_xl: bool = False,
     donate: bool = True,
+    denoise_merged: bool = False,
 ):
     """Build the jitted train step:
     step(state, unet_params, pairs) -> (new_state, metrics)."""
@@ -158,15 +159,21 @@ def make_text_slider_step(
         latents = constrain_batch(latents)
 
         # ---- 2. partial denoise, slider ON, CFG at denoise_guidance ----
-        # A/B/C measured on v5e (BASELINE.md): UNet loop iterations cost
-        # ~31 ms with the LoRA branch on loop-invariant base weights vs
-        # ~55 ms with merged weights carried into the loop (fresh weight
-        # buffers defeat the loop's layout assignment); a dynamic-trip loop
-        # (avg t_to ≈ max/2 iterations) beats a masked full-length scan.
-        # Hence: branch LoRA + dynamic fori.
+        # branch LoRA (per-call multiplier) vs pre-merged weights for the
+        # loop is selectable; round-1's "merged loses in loops" A/B was
+        # taken with non-blocking timing (BASELINE.md round-2 methodology)
+        # and needs honest re-measurement per backend.
+        denoise_params = unet_params
         lora_on = SliderLora(
             weights=jax.lax.stop_gradient(state.lora), multiplier=jnp.asarray(1.0)
         )
+        if denoise_merged:
+            from sliders_tpu.lora.merge import merge_lora_weights
+
+            denoise_params = jax.lax.stop_gradient(
+                merge_lora_weights(unet_params, state.lora, 1.0)
+            )
+            lora_on = None
         ehs_cfg = jnp.concatenate([rep(pair["unconditional"]), rep(pair["target"])])
         added_cfg = added_concat(added_from(pair, "unconditional"), added_from(pair, "target"))
 
@@ -175,7 +182,7 @@ def make_text_slider_step(
             x_in = jnp.concatenate([x, x])
             x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
             eps = unet_fn(
-                unet_params, x_in, sampler.timesteps[i], ehs_cfg, added_cfg, lora=lora_on
+                denoise_params, x_in, sampler.timesteps[i], ehs_cfg, added_cfg, lora=lora_on
             )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + denoise_guidance * (eps_c - eps_u)

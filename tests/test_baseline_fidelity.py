@@ -19,6 +19,8 @@ from sliders_tpu.cli.generate_images import (
     infer_params_from_name,
 )
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # checkpoint-layout hyperparam inference

@@ -17,6 +17,10 @@ from sliders_tpu.tools.prompt_helper import (
     parse_llm_response,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_interpolate_params():
     old = {"a": jnp.zeros((2, 2)), "b": jnp.ones((3,))}

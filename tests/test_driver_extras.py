@@ -9,6 +9,8 @@ import pytest
 from sliders_tpu.diffusion.guidance import apply_noise_offset, compose_velocities
 from sliders_tpu.training.driver import random_resolution_in_bucket
 
+pytestmark = pytest.mark.slow
+
 
 def test_random_resolution_bucket():
     rng = np.random.default_rng(0)

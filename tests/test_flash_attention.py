@@ -6,14 +6,15 @@ import jax.numpy as jnp
 import pytest
 
 from sliders_tpu.ops import flash_attention as fa
+from sliders_tpu.ops import pallas_attention as pa
 from sliders_tpu.ops.attention import multihead_attention, xla_attention
 
 
 def test_supports_policy():
-    # FLUX joint attention shapes qualify (d=128)
+    # FLUX joint attention shapes qualify for the stock kernel (d=128)
     assert fa.supports((2, 24, 4096, 128), (2, 24, 4096, 128))
     assert fa.supports((1, 24, 1024, 128), (1, 24, 1024, 128))
-    # SD/SDXL head dims pad the 128-lane registers -> XLA path (measured faster)
+    # SD/SDXL head dims route to the custom SD kernel, not the stock one
     assert not fa.supports((2, 8, 4096, 40), (2, 8, 4096, 40))
     assert not fa.supports((2, 10, 1024, 64), (2, 10, 1024, 64))
     assert not fa.supports((2, 24, 4096, 128), (2, 24, 77, 128))  # cross-attn
@@ -21,6 +22,34 @@ def test_supports_policy():
     assert not fa.supports((2, 24, 4160, 128), (2, 24, 4160, 128))  # not /128
     assert not fa.supports((2, 16, 64), (2, 16, 64))  # wrong rank
     assert not fa.supports((2, 8, 1024, 160), (2, 8, 1024, 160))  # bad head dim
+
+
+def test_sd_kernel_supports_policy():
+    # the SD1.5/SDXL hot shapes (512px level0/1, 1024px SDXL levels)
+    assert pa.supports((2, 8, 4096, 40), (2, 8, 4096, 40))
+    assert pa.supports((2, 8, 1024, 80), (2, 8, 1024, 80))
+    assert pa.supports((2, 10, 4096, 64), (2, 10, 4096, 64))
+    assert not pa.supports((2, 8, 4096, 40), (2, 8, 77, 40))  # cross-attn
+    assert not pa.supports((2, 8, 256, 160), (2, 8, 256, 160))  # tiny L
+    assert not pa.supports((2, 24, 4096, 128), (2, 24, 4096, 128))  # stock kernel's
+    assert not pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))  # K/V too big for VMEM plan
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 1024, 40), (1, 2, 1024, 64), (2, 4, 2048, 80)])
+def test_sd_kernel_matches_xla_interpret(shape):
+    """Custom SD attention kernel (interpret mode): exact-softmax parity with
+    the XLA reference path, forward AND grad (custom-vjp recompute)."""
+    B, H, L, d = shape
+    q = jax.random.normal(jax.random.key(0), (B, H, L, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, H, L, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, H, L, d), jnp.float32)
+    ref = xla_attention(q, k, v)
+    out = pa.sd_attention(q, k, v, 512, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(lambda q: xla_attention(q, k, v).sum())(q)
+    g = jax.grad(lambda q: pa.sd_attention(q, k, v, 512, True).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
 
 
 @pytest.mark.parametrize("d", [64, 128])

@@ -11,6 +11,8 @@ from sliders_tpu.diffusion.schedulers import make_flowmatch_sampler
 from sliders_tpu.lora import network as lnet
 from sliders_tpu.models import flux
 
+pytestmark = pytest.mark.slow
+
 
 def test_param_count_golden():
     shapes = jax.eval_shape(lambda k: flux.init_params(k, flux.FLUX_DEV), jax.random.key(0))

@@ -8,6 +8,8 @@ import pytest
 
 from helpers import make_tiny_snapshot
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def snapshot(tmp_path_factory):

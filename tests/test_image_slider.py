@@ -21,6 +21,8 @@ from sliders_tpu.training import optimizers as opt_factory
 from sliders_tpu.training.image_slider import make_image_slider_step
 from sliders_tpu.training.text_slider import SliderTrainState
 
+pytestmark = pytest.mark.slow
+
 
 def test_per_sample_multiplier_equals_two_scalar_calls():
     """The fused ±s batched call must equal two scalar-multiplier calls."""

@@ -7,6 +7,8 @@ import pytest
 
 from helpers import make_tiny_snapshot
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_image_slider_cli(tmp_path):
     from PIL import Image

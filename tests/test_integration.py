@@ -20,6 +20,8 @@ from sliders_tpu.training.driver import train_text_sliders
 
 from helpers import make_tiny_snapshot
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def snapshot(tmp_path_factory):

@@ -9,6 +9,8 @@ from sliders_tpu.diffusion import make_sampler, make_schedule
 from sliders_tpu.models import unet2d
 from sliders_tpu.pipelines import inversion as inv
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

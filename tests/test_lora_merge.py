@@ -1,6 +1,7 @@
 """Merged-weight LoRA fast path == branch path, numerically."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from sliders_tpu.models import unet2d
 from sliders_tpu.ops.basic import SliderLora
 
 
+@pytest.mark.slow
 def test_merged_equals_branch():
     cfg = unet2d.TINY
     params = unet2d.init_params(jax.random.key(0), cfg)
@@ -35,6 +37,7 @@ def test_merged_equals_branch():
         ), mult
 
 
+@pytest.mark.slow
 def test_merge_gradients_match_branch():
     cfg = unet2d.TINY
     params = unet2d.init_params(jax.random.key(0), cfg)

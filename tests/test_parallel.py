@@ -10,6 +10,8 @@ import pytest
 
 from sliders_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_construction():
     m = pmesh.make_mesh(dp=-1, tp=2)

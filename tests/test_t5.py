@@ -11,6 +11,8 @@ import jax.numpy as jnp  # noqa: E402
 from sliders_tpu.models import t5  # noqa: E402
 from sliders_tpu.models.convert import convert_state_dict  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def test_t5_encoder_parity():
     cfg = transformers.T5Config(

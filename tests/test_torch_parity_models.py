@@ -16,6 +16,8 @@ import torch
 import torch_mirrors as tm
 from sliders_tpu.models import unet2d, vae
 
+pytestmark = pytest.mark.slow
+
 
 def nchw(x):
     return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())

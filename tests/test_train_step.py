@@ -15,6 +15,8 @@ from sliders_tpu.training.text_slider import (
     stack_prompt_pairs,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _make_pairs(key, n_pairs=2, L=7, D=32, gs=4.0):
     ks = jax.random.split(key, 4 * n_pairs)

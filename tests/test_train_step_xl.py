@@ -15,6 +15,8 @@ from sliders_tpu.training.text_slider import (
     stack_prompt_pairs,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_xl_step_runs_and_learns():
     cfg = unet2d.TINY_XL

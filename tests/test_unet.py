@@ -134,6 +134,7 @@ def test_tiny_xl_added_cond():
     assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_grad_flows_only_through_lora(tiny_setup):
     cfg, params, x, ehs, t = tiny_setup
     name = "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_v"

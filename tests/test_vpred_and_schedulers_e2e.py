@@ -17,6 +17,8 @@ from sliders_tpu.training.text_slider import (
     stack_prompt_pairs,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _pairs(key, D):
     ks = jax.random.split(key, 4)
