@@ -67,10 +67,14 @@ def main():
         opt_factory.make_lr_schedule("constant", 2e-4, 1000),
         trainable_mask=lnet.trainable_mask(lora),
     )
+    # chunk: scan 10 reference iterations per dispatch (tpu.steps_per_call);
+    # amortizes the ~25 ms/dispatch tunnel overhead (BASELINE.md round-2)
+    chunk = 10
     step = make_text_slider_step(
         cfg, schedule, sampler, optimizer,
         max_denoising_steps=50, resolution=512, batch_size=1,
         compute_dtype=jnp.bfloat16, remat=False, donate=True,
+        chunk=chunk,
     )
     state = SliderTrainState.create(jax.random.key(2), lora, optimizer)
 
@@ -89,17 +93,17 @@ def main():
 
     import numpy as np
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, unet_params, pairs)
+    state, metrics = step(state, unet_params, pairs)  # compile + warm
     _ = np.asarray(metrics["loss"])  # host fetch = true completion
 
+    calls = 2
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(calls):
         state, metrics = step(state, unet_params, pairs)
-    _ = np.asarray(metrics["loss"])
+    _ = np.asarray(metrics["loss"])  # last chunk's losses depend on all steps
     dt = time.perf_counter() - t0
 
-    value = ITERS / dt
+    value = calls * chunk / dt
     print(
         json.dumps(
             {

@@ -107,6 +107,11 @@ class TpuConfig(BaseModel):
     nan_check: bool = False
     # checkpoint-resume: save full train state every N steps ('' disables)
     state_checkpoint_every: int = 0
+    # scan N reference iterations inside one compiled dispatch (amortizes
+    # host->device dispatch overhead, ~70 ms/step through remote tunnels —
+    # BASELINE.md). Semantics identical per step; periodic saves coarsen to
+    # chunk boundaries. Only active with a single static-resolution bucket.
+    steps_per_call: int = 1
 
 
 from pydantic import Field, model_validator

@@ -135,7 +135,7 @@ def multihead_attention(
         out, probs = _xla_attention_probs(qh, kh, vh, mask)
         _ACTIVE_TAP.store[name] = probs
         return _merge_heads(out)
-    if impl == "auto" and _use_sd_kernel(qh, kh, mask):
+    if impl in ("auto", "pallas") and _use_sd_kernel(qh, kh, mask):
         from sliders_tpu.ops import pallas_attention as pa
 
         out = pa.sd_attention(qh, kh, vh)

@@ -84,6 +84,10 @@ def _sd_attention_impl(q, k, v, block_q, interpret):
 
     lkv = kp.shape[1]
     block_q = min(block_q, lq)
+    if lq % block_q != 0:
+        block_q = pick_block_q(lq)
+        if block_q == 0:
+            raise ValueError(f"q length {lq} has no 128-multiple block")
     grid = (b * h, lq // block_q)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -117,17 +121,39 @@ def _sd_attention_bwd(block_q, interpret, res, g):
 sd_attention.defvjp(_sd_attention_fwd, _sd_attention_bwd)
 
 
-def supports(q_shape, k_shape, min_seq: int = 1024, max_kv: int = 4096) -> bool:
-    """Shapes this kernel should take over from XLA: long spatial
-    self-attention (q_len == kv_len), whole K/V resident per program."""
+VMEM_BUDGET = 13 * 2**20  # ~16 MB/core minus pipelining headroom
+
+
+def pick_block_q(lq: int) -> int:
+    for b in (DEFAULT_BLOCK_Q, 256, 128):
+        if lq % b == 0:
+            return b
+    return 0
+
+
+def supports(q_shape, k_shape, min_seq: int = 1024) -> bool:
+    """Shapes this kernel should take over from XLA: long self-attention
+    (q_len == kv_len), whole K/V resident per program, d <= the 128 lanes.
+
+    Measured on v5e (BASELINE.md round-2, 3-sample 50-chain timing): at SD1's
+    L=4096 d=40, 1.35 ms vs 3.37 ms XLA; at FLUX's L=4096 d=128, 2.10 ms vs
+    12.25 ms XLA and 11.26 ms stock flash — the stock kernel is never the
+    right choice at these sizes, so this kernel owns everything that fits
+    VMEM."""
     if len(q_shape) != 4:
         return False
     lq, d = q_shape[2], q_shape[3]
     lk = k_shape[2]
-    if lq != lk or lq < min_seq or lq > max_kv:
+    if lq != lk or lq < min_seq:
         return False
-    if lq % DEFAULT_BLOCK_Q != 0:
+    block_q = pick_block_q(lq)
+    if block_q == 0 or d > LANES:
         return False
-    if d >= LANES:  # d in (40, 64, 80); 128-multiples go to the stock kernel
-        return False
-    return True
+    # VMEM working set: f32 score tile + bf16 K, V, Q-block, O-block
+    d_pad = LANES
+    need = (
+        4 * block_q * lk  # scores (f32)
+        + 2 * 2 * lk * d_pad  # K + V
+        + 2 * 2 * block_q * d_pad  # Q + O blocks
+    )
+    return need <= VMEM_BUDGET

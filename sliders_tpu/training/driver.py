@@ -185,12 +185,12 @@ def train_text_sliders(
     steps: dict = {}
     bucket_pairs: dict = {}
 
-    def get_step(bucket_key, hw):
-        """Lazily compile one step per (bucket, resolution) — dynamic
+    def get_step(bucket_key, hw, chunk=1):
+        """Lazily compile one step per (bucket, resolution[, chunk]) — dynamic
         resolution (train_util.py:407-419) samples a new 64-px bucket per
         iteration; each bucket compiles once and is cached."""
         resolution, batch = bucket_key
-        ck = (bucket_key, hw)
+        ck = (bucket_key, hw, chunk)
         if ck not in steps:
             steps[ck] = make_text_slider_step(
                 models.unet_config, schedule, sampler, optimizer,
@@ -202,11 +202,13 @@ def train_text_sliders(
                 mesh=mesh,
                 is_xl=models.is_xl,
                 donate=tpu.donate,
+                chunk=chunk,
             )
-            bucket_pairs[ck] = build_pairs(
-                buckets[bucket_key], cache, models.is_xl, resolution_hw=hw
+            bucket_pairs.setdefault(
+                (bucket_key, hw),
+                build_pairs(buckets[bucket_key], cache, models.is_xl, resolution_hw=hw),
             )
-        return steps[ck], bucket_pairs[ck]
+        return steps[ck], bucket_pairs[(bucket_key, hw)]
 
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
     if resume_from is not None:
@@ -234,50 +236,72 @@ def train_text_sliders(
     host_rng = np.random.default_rng(seed)
     t_last = time.perf_counter()
 
-    start = int(state.step)
-    for i in range(start, config.train.iterations):
+    # dispatch-amortization: scan tpu.steps_per_call iterations per compiled
+    # call. Only sound with one static bucket — bucket/resolution resampling
+    # happens on the host between dispatches (reference resamples per
+    # iteration, train_util.py:407-419), so fall back to 1 otherwise.
+    chunk_cfg = max(1, tpu.steps_per_call)
+    if chunk_cfg > 1 and (
+        len(bucket_keys) > 1 or any(s.dynamic_resolution for s in prompts)
+    ):
+        print("steps_per_call > 1 needs a single static bucket; using 1")
+        chunk_cfg = 1
+
+    i = start = int(state.step)
+    while i < config.train.iterations:
         bk = bucket_keys[host_rng.integers(len(bucket_keys))] if len(bucket_keys) > 1 else bucket_keys[0]
         resolution, _batch = bk
         if any(s.dynamic_resolution for s in buckets[bk]):
             hw = random_resolution_in_bucket(host_rng, resolution)
         else:
             hw = (resolution, resolution)
-        step_fn, pairs_for_bucket = get_step(bk, hw)
+        n = min(chunk_cfg, config.train.iterations - i)
+        step_fn, pairs_for_bucket = get_step(bk, hw, chunk=n)
         state, metrics = step_fn(state, models.unet_params, pairs_for_bucket)
+        per_step = (
+            [jax.tree.map(lambda a, j=j: a[j], metrics) for j in range(n)]
+            if n > 1
+            else [metrics]
+        )
 
-        if tpu.nan_check and not np.isfinite(float(metrics["loss"])):
-            raise FloatingPointError(f"non-finite loss at step {i}: {metrics}")
+        for j, m in enumerate(per_step):
+            sj = i + j
+            if tpu.nan_check and not np.isfinite(float(m["loss"])):
+                raise FloatingPointError(f"non-finite loss at step {sj}: {m}")
 
-        if i % config.logging.log_every == 0 or i == config.train.iterations - 1:
-            loss = float(metrics["loss"])
-            dt = time.perf_counter() - t_last
-            t_last = time.perf_counter()
-            print(
-                f"step {i}: loss*1k={loss * 1000:.4f} t_to={int(metrics['t_to'])} "
-                f"pair={int(metrics['pair'])} ({dt:.2f}s since last log)"
-            )
-            if config.logging.use_wandb:
-                import wandb
+            if sj % config.logging.log_every == 0 or sj == config.train.iterations - 1:
+                loss = float(m["loss"])
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                print(
+                    f"step {sj}: loss*1k={loss * 1000:.4f} t_to={int(m['t_to'])} "
+                    f"pair={int(m['pair'])} ({dt:.2f}s since last log)"
+                )
+                if config.logging.use_wandb:
+                    import wandb
 
-                wandb.log({"loss": loss, "iteration": i, "lr": float(lr_schedule(i))})
-        if on_step is not None:
-            on_step(i, state, metrics)
+                    wandb.log({"loss": loss, "iteration": sj, "lr": float(lr_schedule(sj))})
+            if on_step is not None:
+                on_step(sj, state, m)
 
-        if (
-            i % config.save.per_steps == 0
-            and i != 0
-            and i != config.train.iterations - 1
-        ):
-            print("Saving...")
-            lora_io.save_slider(
-                str(save_dir / f"{config.save.name}_{i}steps{ext}"),
-                jax.device_get(state.lora),
-                dtype=lora_io.numpy_precision(config.save.precision),
-            )
+            if (
+                sj % config.save.per_steps == 0
+                and sj != 0
+                and sj != config.train.iterations - 1
+            ):
+                # with chunk > 1 the saved weights are the end-of-chunk state
+                # (documented coarsening, core/config.py steps_per_call)
+                print("Saving...")
+                lora_io.save_slider(
+                    str(save_dir / f"{config.save.name}_{sj}steps{ext}"),
+                    jax.device_get(state.lora),
+                    dtype=lora_io.numpy_precision(config.save.precision),
+                )
 
-        if tpu.state_checkpoint_every and i % tpu.state_checkpoint_every == 0 and i != 0:
-            with open(save_dir / f"{config.save.name}_trainstate.msgpack", "wb") as f:
-                f.write(_state_bytes(state))
+            if tpu.state_checkpoint_every and sj % tpu.state_checkpoint_every == 0 and sj != 0:
+                with open(save_dir / f"{config.save.name}_trainstate.msgpack", "wb") as f:
+                    f.write(_state_bytes(state))
+        i += n
 
     if tpu.profile_dir:
         jax.profiler.stop_trace()

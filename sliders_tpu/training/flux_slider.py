@@ -41,8 +41,12 @@ def make_flux_slider_step(
     mesh=None,
     donate: bool = True,
     trainable_mask=None,
+    chunk: int = 1,
 ):
     """step(state, flux_params, pairs) -> (new_state, metrics).
+
+    `chunk > 1` scans N iterations per dispatch (see
+    text_slider.make_text_slider_step); metrics come back stacked.
 
     pairs: stacked dict with t5 (n, L_t5, joint_dim) and pooled (n, pooled_dim)
     per prompt role + guidance_signed (n,).
@@ -141,4 +145,14 @@ def make_flux_slider_step(
         new_state = state.replace(step=state.step + 1, lora=lora, opt_state=opt_state)
         return new_state, {"loss": loss, "t_to": t_to, "pair": idx}
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    donate_argnums = (0,) if donate else ()
+    if chunk == 1:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    def multi_fn(state, flux_params, pairs):
+        def body(s, _):
+            return step_fn(s, flux_params, pairs)
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)

@@ -53,8 +53,15 @@ def make_image_slider_step(
     is_xl: bool = False,
     mesh=None,
     donate: bool = True,
+    chunk: int = 1,
 ):
     """step(state, unet_params, vae_params, batch) -> (new_state, metrics).
+
+    `chunk > 1` scans N iterations per dispatch (see
+    text_slider.make_text_slider_step); metrics come back stacked. NOTE the
+    image-slider batch is fixed per call, so all chunked iterations see the
+    same image pair (the reference resamples the folder per iteration) —
+    only use chunk > 1 with a single training pair.
 
     batch:
       images_low / images_high: (B, H, W, 3) in [-1, 1]
@@ -145,4 +152,13 @@ def make_image_slider_step(
         return new_state, {"loss": loss, "t_to": t_to, "scale": s}
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if chunk == 1:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    def multi_fn(state, unet_params, vae_params, batch):
+        def body(s, _):
+            return step_fn(s, unet_params, vae_params, batch)
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)

@@ -85,9 +85,18 @@ def make_text_slider_step(
     is_xl: bool = False,
     donate: bool = True,
     denoise_merged: bool = False,
+    chunk: int = 1,
 ):
     """Build the jitted train step:
-    step(state, unet_params, pairs) -> (new_state, metrics)."""
+    step(state, unet_params, pairs) -> (new_state, metrics).
+
+    `chunk > 1` scans `chunk` reference iterations inside ONE compiled
+    program (metrics come back stacked with a leading (chunk,) axis).
+    Per-step semantics are identical — pair/t_to/noise RNG folds in the
+    per-step counter either way — but host->device dispatch overhead
+    (measured ~70 ms/step through remote-device tunnels, BASELINE.md) is
+    paid once per chunk. Checkpoint granularity coarsens to chunk
+    boundaries; `tpu.steps_per_call` wires this through the driver."""
     ts1000, scale1000 = train_grid_tables(schedule, sampler.kind)
     grid_stride = schedule.num_train_timesteps // max_denoising_steps
     if isinstance(resolution, tuple):
@@ -241,4 +250,13 @@ def make_text_slider_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if chunk == 1:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    def multi_fn(state: SliderTrainState, unet_params: dict, pairs: dict):
+        def body(s, _):
+            return step_fn(s, unet_params, pairs)
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)

@@ -83,3 +83,53 @@ def test_dynamic_resolution_training(tmp_path):
     prompts = load_prompts_from_yaml(cfg.prompts_file)
     final = train_text_sliders(cfg, prompts, models, seed=3)
     assert final  # completed without shape errors across buckets
+
+
+@pytest.mark.slow
+def test_steps_per_call_chunking(tmp_path):
+    """tpu.steps_per_call=3 must produce the same training result as the
+    per-step driver loop (RNG folds in the absolute step counter) including
+    the un-even tail chunk, and still write the periodic artifacts."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    from helpers import make_tiny_snapshot
+    from sliders_tpu.core.config import RootConfig
+    from sliders_tpu.models import loader
+    from sliders_tpu.prompts import load_prompts_from_yaml
+    from sliders_tpu.training.driver import train_text_sliders
+
+    snap = make_tiny_snapshot(str(tmp_path / "snap"))
+    models = loader.load_sd(snap, dtype=jnp.float32)
+    pf = tmp_path / "p.yaml"
+    pf.write_text(
+        "- target: person\n  positive: old person\n  unconditional: ''\n"
+        "  neutral: person\n  action: enhance\n  guidance_scale: 2\n"
+        "  resolution: 64\n"
+    )
+    base = {
+        "prompts_file": str(pf),
+        "pretrained_model": {"name_or_path": snap},
+        "network": {"rank": 2, "training_method": "noxattn"},
+        "train": {"precision": "float32", "iterations": 5, "lr": 1e-3,
+                  "max_denoising_steps": 3},
+        "save": {"name": "chunked", "path": str(tmp_path / "out_c"), "per_steps": 3},
+        "tpu": {"remat": False, "donate": False, "steps_per_call": 3},
+    }
+    prompts = load_prompts_from_yaml(pf)
+    final_c = train_text_sliders(RootConfig(**base), prompts, models, seed=3)
+
+    plain = dict(base)
+    plain["save"] = {"name": "plain", "path": str(tmp_path / "out_p"), "per_steps": 3}
+    plain["tpu"] = {"remat": False, "donate": False}
+    final_p = train_text_sliders(RootConfig(**plain), prompts, models, seed=3)
+
+    for mname in final_p:
+        np.testing.assert_allclose(
+            np.asarray(final_c[mname]["up"]),
+            np.asarray(final_p[mname]["up"]),
+            rtol=5e-4, atol=1e-7,
+        )
+    # periodic save fired inside the chunk (step 3 of 0..4)
+    assert (tmp_path / "out_c" / "chunked_3steps.safetensors").exists()
+    assert (tmp_path / "out_c" / "chunked_last.safetensors").exists()

@@ -29,13 +29,21 @@ def test_sd_kernel_supports_policy():
     assert pa.supports((2, 8, 4096, 40), (2, 8, 4096, 40))
     assert pa.supports((2, 8, 1024, 80), (2, 8, 1024, 80))
     assert pa.supports((2, 10, 4096, 64), (2, 10, 4096, 64))
+    # FLUX joint attention (d=128): measured faster than BOTH XLA and the
+    # stock flash kernel on v5e (BASELINE.md round-2), so it's ours too
+    assert pa.supports((2, 24, 4096, 128), (2, 24, 4096, 128))
+    assert pa.supports((1, 24, 1536, 128), (1, 24, 1536, 128))  # 512px FLUX joint
     assert not pa.supports((2, 8, 4096, 40), (2, 8, 77, 40))  # cross-attn
     assert not pa.supports((2, 8, 256, 160), (2, 8, 256, 160))  # tiny L
-    assert not pa.supports((2, 24, 4096, 128), (2, 24, 4096, 128))  # stock kernel's
-    assert not pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))  # K/V too big for VMEM plan
+    assert not pa.supports((2, 8, 1024, 160), (2, 8, 1024, 160))  # d > 128 lanes
+    # score tile + K/V exceed the VMEM budget at 8192 with block 512
+    assert not pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))
 
 
-@pytest.mark.parametrize("shape", [(2, 8, 1024, 40), (1, 2, 1024, 64), (2, 4, 2048, 80)])
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 8, 1024, 40), (1, 2, 1024, 64), (2, 4, 2048, 80), (1, 2, 1536, 128)],
+)
 def test_sd_kernel_matches_xla_interpret(shape):
     """Custom SD attention kernel (interpret mode): exact-softmax parity with
     the XLA reference path, forward AND grad (custom-vjp recompute)."""

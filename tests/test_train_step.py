@@ -153,3 +153,63 @@ def test_lr_schedule_semantics():
 def test_optimizer_args_parsing():
     kw = opt_factory.parse_optimizer_args("weight_decay=0.01 betas=(0.9,0.99)")
     assert kw == {"weight_decay": 0.01, "betas": (0.9, 0.99)}
+
+
+def test_denoise_merged_matches_branch(setup):
+    """`denoise_merged=True` (pre-merging the slider into the UNet weights
+    for the partial-denoise loop, lora/merge.py) must be numerically
+    equivalent to the branch-LoRA path — it is a perf knob, not a semantic
+    one (BASELINE.md round-2 A/B). Start from a trained-ish state so the
+    merge is non-trivial."""
+    cfg, unet_params, optimizer, step, state = setup
+    pairs = _make_pairs(jax.random.key(3), n_pairs=1)
+    # take one branch step to move the LoRA off zero-init
+    state1, _ = step(state, unet_params, pairs)
+
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=10)
+    merged_step = make_text_slider_step(
+        cfg, schedule, sampler, optimizer,
+        max_denoising_steps=10, resolution=128, batch_size=2,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+        denoise_merged=True,
+    )
+    _, m_branch = step(state1, unet_params, pairs)
+    _, m_merged = merged_step(state1, unet_params, pairs)
+    assert int(m_branch["t_to"]) == int(m_merged["t_to"])
+    np.testing.assert_allclose(
+        float(m_merged["loss"]), float(m_branch["loss"]), rtol=1e-4, atol=1e-7
+    )
+
+
+def test_chunked_step_matches_sequential(setup):
+    """`chunk=N` (N scanned iterations per dispatch) must be bit-equivalent
+    to N sequential single-step calls: RNG folds in the per-step counter
+    either way. Guards the dispatch-amortization path (tpu.steps_per_call)."""
+    cfg, unet_params, optimizer, step, state = setup
+    pairs = _make_pairs(jax.random.key(3))
+
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=10)
+    chunk_step = make_text_slider_step(
+        cfg, schedule, sampler, optimizer,
+        max_denoising_steps=10, resolution=128, batch_size=2,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+        chunk=3,
+    )
+    s_seq = state
+    seq_losses = []
+    for _ in range(3):
+        s_seq, m = step(s_seq, unet_params, pairs)
+        seq_losses.append(float(m["loss"]))
+    s_chunk, ms = chunk_step(state, unet_params, pairs)
+    assert ms["loss"].shape == (3,)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses, rtol=1e-6)
+    assert int(s_chunk.step) == int(s_seq.step) == 3
+    for mname in s_seq.lora:
+        # scan vs sequential reassociates the f32 backward slightly
+        np.testing.assert_allclose(
+            np.asarray(s_chunk.lora[mname]["up"]),
+            np.asarray(s_seq.lora[mname]["up"]),
+            rtol=1e-4, atol=1e-8,
+        )
