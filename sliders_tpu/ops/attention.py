@@ -105,14 +105,14 @@ def _use_pallas(q: jax.Array, k: jax.Array, mask) -> bool:
     return fa.supports(q.shape, k.shape)
 
 
-def _use_sd_kernel(q: jax.Array, k: jax.Array, mask) -> bool:
+def _use_sd_kernel_shapes(q_shape, k_shape, mask) -> bool:
     if mask is not None:
         return False
     if jax.default_backend() != "tpu":
         return False
     from sliders_tpu.ops import pallas_attention as pa
 
-    return pa.supports(q.shape, k.shape)
+    return pa.supports(q_shape, k_shape)
 
 
 def multihead_attention(
@@ -135,7 +135,11 @@ def multihead_attention(
         out, probs = _xla_attention_probs(qh, kh, vh, mask)
         _ACTIVE_TAP.store[name] = probs
         return _merge_heads(out)
-    if impl in ("auto", "pallas") and _use_sd_kernel(qh, kh, mask):
+    # NOTE: routing the head-minor pa.sd_attention_blhd entry here (skipping
+    # _split_heads) measured NEUTRAL end-to-end (bench 1.424 vs 1.436
+    # steps/s) — the transposed level-0 layouts in the train step are XLA's
+    # own conv-driven layout assignment, not forced by the custom call.
+    if impl in ("auto", "pallas") and _use_sd_kernel_shapes(qh.shape, kh.shape, mask):
         from sliders_tpu.ops import pallas_attention as pa
 
         out = pa.sd_attention(qh, kh, vh)

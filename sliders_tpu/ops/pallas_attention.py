@@ -121,6 +121,96 @@ def _sd_attention_bwd(block_q, interpret, res, g):
 sd_attention.defvjp(_sd_attention_fwd, _sd_attention_bwd)
 
 
+# ---------------------------------------------------------------------------
+# head-minor (B, L, H, d) entry — the layout the QKV projections produce
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sd_attention_blhd(q, k, v, block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+    """(B, L, H, d) self-attention, head-minor layout straight from the QKV
+    projections (reshape of (B, L, H*d) — no transpose).
+
+    Heads are packed into the lane axis: the array is viewed as
+    (B, L, H*d_pad) — each head zero-padded to its own 128-lane slot — and
+    the grid's head index selects the slot via the block index map, so HBM
+    is read in its natural layout (Mosaic needs the last two BLOCK dims
+    tileable, which a (1, block_q, 1, d_pad) 4D block is not).
+
+    Measured A/B (round-2, BASELINE.md): end-to-end NEUTRAL vs the
+    transpose + (B,H,L,d) entry (bench 1.424 vs 1.436 steps/s; micro
+    1.91 vs 1.75 ms/block) — the transposed level-0 layouts in the train
+    step are XLA's conv-driven layout choice, not custom-call-forced. The
+    default path therefore keeps the simpler (B,H,L,d) entry; this one
+    serves head-minor callers.
+    """
+    return _sd_attention_blhd_impl(q, k, v, block_q, interpret)
+
+
+def _pack_heads(x, d_pad):
+    """(B, L, H, d) -> (B, L, H*d_pad): pad each head to a 128-lane slot
+    (free reshape when d == d_pad)."""
+    b, l, h, d = x.shape
+    return _pad_lanes(x, d_pad).reshape(b, l, h * d_pad)
+
+
+def _sd_attention_blhd_impl(q, k, v, block_q, interpret):
+    b, lq, h, d = q.shape
+    lkv = k.shape[1]
+    scale = float(d) ** -0.5
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+    qp = _pack_heads(q, d_pad)
+    kp = _pack_heads(k, d_pad)
+    vp = _pack_heads(v, d_pad)
+
+    from jax.experimental import pallas as pl
+
+    block_q = min(block_q, lq)
+    if lq % block_q != 0:
+        block_q = pick_block_q(lq)
+        if block_q == 0:
+            raise ValueError(f"q length {lq} has no 128-multiple block")
+    grid = (b, h, lq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bi, hi, i: (bi, i, hi)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, hi, i: (bi, 0, hi)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, hi, i: (bi, 0, hi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bi, hi, i: (bi, i, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h * d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    if d == d_pad:
+        return out.reshape(b, lq, h, d)
+    return out.reshape(b, lq, h, d_pad)[..., :d]
+
+
+def _sd_attention_blhd_fwd(q, k, v, block_q, interpret):
+    return _sd_attention_blhd_impl(q, k, v, block_q, interpret), (q, k, v)
+
+
+def _sd_attention_blhd_bwd(block_q, interpret, res, g):
+    # XLA-recompute backward (reference numerics); one grad pass per iter.
+    from sliders_tpu.ops.attention import xla_attention
+
+    q, k, v = res
+
+    def ref(q, k, v):
+        o = xla_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )
+        return o.transpose(0, 2, 1, 3)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+sd_attention_blhd.defvjp(_sd_attention_blhd_fwd, _sd_attention_blhd_bwd)
+
+
 VMEM_BUDGET = 13 * 2**20  # ~16 MB/core minus pipelining headroom
 
 

@@ -74,3 +74,24 @@ def test_flash_matches_xla_interpret(d):
     with pltpu.force_tpu_interpret_mode():
         out = fa.flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 1024, 8, 40), (1, 1536, 2, 128)])
+def test_sd_kernel_blhd_matches_xla_interpret(shape):
+    """Head-minor (B, L, H, d) kernel entry: parity with the XLA path,
+    forward and grad."""
+    B, L, H, d = shape
+    q = jax.random.normal(jax.random.key(0), (B, L, H, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, L, H, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, L, H, d), jnp.float32)
+
+    def ref(q, k, v):
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        return t(xla_attention(t(q), t(k), t(v)))
+
+    out = pa.sd_attention_blhd(q, k, v, 512, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v)), atol=1e-5)
+
+    g_ref = jax.grad(lambda q: ref(q, k, v).sum())(q)
+    g = jax.grad(lambda q: pa.sd_attention_blhd(q, k, v, 512, True).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
