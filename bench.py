@@ -179,8 +179,132 @@ def main_flux():
     )
 
 
+def main_sdxl():
+    """Secondary metric: SDXL text-slider train step at the reference's XL
+    protocol (config-xl.yaml: 512px, batch 1, rank 4 noxattn, DDIM-50 grid,
+    CFG-doubled denoise) — the BASELINE.json north-star model."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.text_slider import (
+        SliderTrainState,
+        make_text_slider_step,
+        stack_prompt_pairs,
+    )
+
+    cfg = unet2d.SDXL
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    lora = lnet.create_slider_network(
+        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    optimizer = opt_factory.make_optimizer(
+        "adamw",
+        opt_factory.make_lr_schedule("constant", 2e-4, 1000),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    chunk = 5
+    step = make_text_slider_step(
+        cfg, schedule, sampler, optimizer,
+        max_denoising_steps=50, resolution=512, batch_size=1,
+        compute_dtype=jnp.bfloat16, remat=False, donate=True,
+        is_xl=True, chunk=chunk,
+    )
+    state = SliderTrainState.create(jax.random.key(2), lora, optimizer)
+    ks = jax.random.split(jax.random.key(3), 8)
+    pair = {}
+    for i, role in enumerate(("target", "positive", "neutral", "unconditional")):
+        pair[role] = jax.random.normal(ks[2 * i], (77, 2048), jnp.bfloat16)
+        pair[f"pooled_{role}"] = jax.random.normal(ks[2 * i + 1], (1280,), jnp.bfloat16)
+    pair["time_ids"] = jnp.asarray([512, 512, 0, 0, 512, 512], jnp.float32)
+    pair["guidance_signed"] = jnp.asarray(4.0)
+    pairs = stack_prompt_pairs([pair])
+
+    state, metrics = step(state, unet_params, pairs)
+    _ = np.asarray(metrics["loss"])
+    calls = 2
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, metrics = step(state, unet_params, pairs)
+    _ = np.asarray(metrics["loss"])
+    dt = time.perf_counter() - t0
+    value = calls * chunk / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_text_slider_train_steps_per_sec_chip",
+                "value": round(value, 4),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+def main_sample():
+    """Secondary metric: 50-step DDIM CFG-7.5 sampling latency (SD1.5,
+    512px, batch 1, slider on at scale 1) — the reference inference
+    protocol (generate_images_sd1.py: 50 steps, CFG 7.5)."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.pipelines import text2image as t2i
+
+    cfg = unet2d.SD15
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    lora = lnet.create_slider_network(
+        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    fn = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.bfloat16)
+    ks = jax.random.split(jax.random.key(2), 3)
+    cond = jax.random.normal(ks[0], (1, 77, 768), jnp.bfloat16)
+    uncond = jax.random.normal(ks[1], (1, 77, 768), jnp.bfloat16)
+    lats = t2i.initial_latents(jax.random.key(3), 1, 512, 512, sampler.init_noise_sigma)
+
+    def run(key):
+        return fn(
+            unet_params, lats, cond, uncond, lora,
+            jnp.asarray(1.0), jnp.asarray(1000.0), jnp.asarray(7.5), key,
+        )
+
+    out = run(jax.random.key(4))
+    _ = np.asarray(out[0, 0, 0, 0])
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = run(jax.random.key(5 + i))
+    _ = np.asarray(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "sd15_50step_denoise_latency",
+                "value": round(dt / n * 1000, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
+    elif "--model" in sys.argv and "sdxl" in sys.argv:
+        main_sdxl()
+    elif "--model" in sys.argv and "sample" in sys.argv:
+        main_sample()
     else:
         main()

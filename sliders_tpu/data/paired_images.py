@@ -52,14 +52,26 @@ class PairedImageFolders:
 
     def sample_pair(self, rng: np.random.Generator, resolution: int):
         """Returns (scale, low_image, high_image) — same filename from the
-        −scale and +scale folders."""
-        from PIL import Image
+        −scale and +scale folders.
 
+        Uses the native C++ loader (data/native_loader.py: libjpeg/libpng
+        decode + PIL-equivalent bicubic, threaded) when it builds; set
+        SLIDERS_TPU_NO_NATIVE_LOADER=1 to force the PIL path."""
         s = float(rng.choice(self.scales_unique))
         names = self.filenames(-s)
         name = names[int(rng.integers(len(names)))]
-        lo = Image.open(os.path.join(self.folder_main, self._by_scale[-s], name))
-        hi = Image.open(os.path.join(self.folder_main, self._by_scale[s], name))
+        lo_path = os.path.join(self.folder_main, self._by_scale[-s], name)
+        hi_path = os.path.join(self.folder_main, self._by_scale[s], name)
+        if not os.environ.get("SLIDERS_TPU_NO_NATIVE_LOADER"):
+            from sliders_tpu.data import native_loader
+
+            if native_loader.available():
+                lo, hi = native_loader.load_batch([lo_path, hi_path], resolution)
+                return s, lo, hi
+        from PIL import Image
+
+        lo = Image.open(lo_path)
+        hi = Image.open(hi_path)
         return s, preprocess_image(lo, resolution), preprocess_image(hi, resolution)
 
 

@@ -138,11 +138,11 @@ def get_config(name: str) -> UNetConfig:
 def _resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: UNetConfig, lora, name: str) -> jax.Array:
     """diffusers ResnetBlock2D: GN-SiLU-conv ×2 with time-embedding add and
     1x1 shortcut when channels change."""
-    h = silu(group_norm(p["norm1"], x, cfg.norm_num_groups))
+    h = group_norm(p["norm1"], x, cfg.norm_num_groups, silu=True)
     h = conv2d(p["conv1"], h, padding=1, lora=lora, name=f"{name}.conv1")
     temb = linear(p["time_emb_proj"], silu(emb), lora=lora, name=f"{name}.time_emb_proj")
     h = h + temb[:, None, None, :]
-    h = silu(group_norm(p["norm2"], h, cfg.norm_num_groups))
+    h = group_norm(p["norm2"], h, cfg.norm_num_groups, silu=True)
     h = conv2d(p["conv2"], h, padding=1, lora=lora, name=f"{name}.conv2")
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0, lora=lora, name=f"{name}.conv_shortcut")
@@ -318,7 +318,7 @@ def apply(
             h = _upsample(bp["upsamplers"]["0"], h, lora, f"{bname}.upsamplers.0")
 
     # 7. out
-    h = silu(group_norm(params["conv_norm_out"], h, cfg.norm_num_groups))
+    h = group_norm(params["conv_norm_out"], h, cfg.norm_num_groups, silu=True)
     return conv2d(params["conv_out"], h, padding=1, lora=lora, name="conv_out")
 
 

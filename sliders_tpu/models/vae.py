@@ -54,9 +54,9 @@ def denormalize_latents(cfg: VaeConfig, latents: jax.Array) -> jax.Array:
 
 
 def _resnet(p: dict, x: jax.Array, groups: int) -> jax.Array:
-    h = silu(group_norm(p["norm1"], x, groups, eps=1e-6))
+    h = group_norm(p["norm1"], x, groups, eps=1e-6, silu=True)
     h = conv2d(p["conv1"], h, padding=1)
-    h = silu(group_norm(p["norm2"], h, groups, eps=1e-6))
+    h = group_norm(p["norm2"], h, groups, eps=1e-6, silu=True)
     h = conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
@@ -98,7 +98,7 @@ def encode(params: dict, cfg: VaeConfig, images: jax.Array) -> tuple[jax.Array, 
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = conv2d(bp["downsamplers"]["0"]["conv"], h, stride=2, padding=0)
     h = _mid_block(enc["mid_block"], h, g)
-    h = silu(group_norm(enc["conv_norm_out"], h, g, eps=1e-6))
+    h = group_norm(enc["conv_norm_out"], h, g, eps=1e-6, silu=True)
     h = conv2d(enc["conv_out"], h, padding=1)
     h = conv2d(params["quant_conv"], h, padding=0)
     mean, logvar = jnp.split(h, 2, axis=-1)
@@ -126,7 +126,7 @@ def decode(params: dict, cfg: VaeConfig, latents: jax.Array) -> jax.Array:
             B, H, W, C = h.shape
             h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
             h = conv2d(bp["upsamplers"]["0"]["conv"], h, padding=1)
-    h = silu(group_norm(dec["conv_norm_out"], h, g, eps=1e-6))
+    h = group_norm(dec["conv_norm_out"], h, g, eps=1e-6, silu=True)
     return conv2d(dec["conv_out"], h, padding=1)
 
 

@@ -128,15 +128,27 @@ def conv2d(
     return y
 
 
-def group_norm(p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
-    """GroupNorm over the channel (last) dim of NHWC, f32 statistics."""
+def group_norm(
+    p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5,
+    silu: bool = False,
+) -> jax.Array:
+    """GroupNorm over the channel (last) dim of NHWC, f32 statistics.
+    `silu=True` fuses the activation that follows every diffusers
+    norm1/norm2 (one HBM pass on TPU via ops/pallas_groupnorm)."""
     B, H, W, C = x.shape
+    # NOTE: a fused one-pass Pallas kernel exists (ops/pallas_groupnorm.py)
+    # but measured SLOWER than this XLA path on v5e (0.914 vs 0.658 ms per
+    # B2/L4096/C320 GN+SiLU — BASELINE.md round-2 rejected experiments), so
+    # it is not routed here.
     xg = x.reshape(B, H * W, num_groups, C // num_groups).astype(jnp.float32)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = xg.var(axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     out = xg.reshape(B, H, W, C).astype(x.dtype)
-    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    out = out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    if silu:
+        out = jax.nn.silu(out)
+    return out
 
 
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
