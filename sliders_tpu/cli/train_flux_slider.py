@@ -94,6 +94,7 @@ def main(args):
     sampler = make_flowmatch_sampler(
         num_steps=config.train.max_denoising_steps, image_seq_len=seq_len
     )
+    chunk = max(1, config.tpu.steps_per_call)
     step = make_flux_slider_step(
         models.transformer_config, sampler, optimizer,
         resolution=resolution,
@@ -104,6 +105,7 @@ def main(args):
         mesh=mesh,
         donate=config.tpu.donate,
         trainable_mask=mask,
+        chunk=chunk,
     )
 
     # encode + stack prompt pairs
@@ -129,15 +131,35 @@ def main(args):
         json.dump({"prompts": [p.model_dump() for p in prompts],
                    "config": json.loads(config.model_dump_json())}, f, indent=2)
 
-    for i in range(config.train.iterations):
-        state, metrics = step(state, models.transformer_params, pairs)
-        if i % config.logging.log_every == 0:
-            print(f"step {i}: loss*1k={float(metrics['loss']) * 1000:.4f}")
-        if i % config.save.per_steps == 0 and i != 0 and i != config.train.iterations - 1:
-            lora_io.save_slider(
-                str(save_dir / f"{config.save.name}_{i}steps{ext}"),
-                jax.device_get(state.lora),
+    i = 0
+    while i < config.train.iterations:
+        n = min(chunk, config.train.iterations - i)
+        if n != chunk:  # uneven tail: one single-step program
+            step_n = make_flux_slider_step(
+                models.transformer_config, sampler, optimizer,
+                resolution=resolution, batch_size=prompts[0].batch_size,
+                transformer_guidance=args.transformer_guidance,
+                compute_dtype=dtype, remat=config.tpu.remat, mesh=mesh,
+                donate=config.tpu.donate, trainable_mask=mask, chunk=n,
             )
+        else:
+            step_n = step
+        state, metrics = step_n(state, models.transformer_params, pairs)
+        per_step = (
+            [jax.tree.map(lambda a, j=j: a[j], metrics) for j in range(n)]
+            if n > 1
+            else [metrics]
+        )
+        for j, m in enumerate(per_step):
+            sj = i + j
+            if sj % config.logging.log_every == 0:
+                print(f"step {sj}: loss*1k={float(m['loss']) * 1000:.4f}")
+            if sj % config.save.per_steps == 0 and sj != 0 and sj != config.train.iterations - 1:
+                lora_io.save_slider(
+                    str(save_dir / f"{config.save.name}_{sj}steps{ext}"),
+                    jax.device_get(state.lora),
+                )
+        i += n
     lora_io.save_slider(
         str(save_dir / f"{config.save.name}_last{ext}"), jax.device_get(state.lora)
     )

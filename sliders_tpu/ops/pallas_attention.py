@@ -109,16 +109,141 @@ def _sd_attention_fwd(q, k, v, block_q, interpret):
 
 
 def _sd_attention_bwd(block_q, interpret, res, g):
-    # XLA-recompute backward: differentiate the reference-numerics attention.
-    # Paid only by the one grad pass per train iteration.
+    q, k, v = res
+    if (interpret or jax.default_backend() == "tpu") and supports_bwd(
+        q.shape, k.shape
+    ):
+        return _sd_attention_bwd_impl(q, k, v, g, interpret)
+    # fallback: differentiate the reference-numerics XLA attention
     from sliders_tpu.ops.attention import xla_attention
 
-    q, k, v = res
     _, vjp = jax.vjp(xla_attention, q, k, v)
     return vjp(g)
 
 
 sd_attention.defvjp(_sd_attention_fwd, _sd_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel — exact-softmax recompute, whole K/V in VMEM
+# ---------------------------------------------------------------------------
+#
+# XLA's VJP of the reference attention materializes the (L, L) f32
+# probability tensor (plus dp and ds) in HBM: at SD1's B2/H8/L4096 that is
+# 3 x 537 MB of traffic per layer in the grad pass. This kernel recomputes
+# p per q-block in VMEM and emits
+#     dv += p^T g,  ds = p (dp - rowsum(dp p)),  dq = scale ds k,
+#     dk += scale ds^T q
+# with dk/dv accumulated in f32 across the sequential q-block grid steps
+# (TPU grids iterate sequentially per core; the revisited output block
+# persists between steps).
+
+BWD_BLOCK_Q = 128
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    q = q_ref[0]  # (bq, dp)
+    k = k_ref[0]  # (L, dp)
+    v = v_ref[0]
+    g = g_ref[0]  # (bq, dp)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (bq, L) f32
+    pb = p.astype(v.dtype)
+    dv_c = jax.lax.dot_general(
+        pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (L, dp)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, L)
+    dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - dsum)).astype(q.dtype)  # (bq, L)
+    dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_c = (
+        jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (L, dp)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk_c
+        dv_ref[0] = dv_c
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0] += dk_c
+        dv_ref[0] += dv_c
+
+
+def supports_bwd(q_shape, k_shape, min_seq: int = 1024) -> bool:
+    """Backward-kernel eligibility: same contract as `supports` but with the
+    smaller q block (three (bq, L) f32 tiles + f32 dk/dv accumulators)."""
+    if len(q_shape) != 4:
+        return False
+    lq, d = q_shape[2], q_shape[3]
+    lk = k_shape[2]
+    if lq != lk or lq < min_seq or d > LANES:
+        return False
+    if lq % BWD_BLOCK_Q != 0:
+        return False
+    d_pad = LANES
+    need = (
+        3 * 4 * BWD_BLOCK_Q * lk  # p, dp, ds tiles (f32)
+        + 2 * 2 * lk * d_pad  # K, V (bf16-class)
+        + 2 * 4 * lk * d_pad  # dk, dv accumulators (f32)
+        + 4 * 2 * BWD_BLOCK_Q * d_pad  # q, g, dq blocks
+    )
+    return need <= VMEM_BUDGET
+
+
+def _sd_attention_bwd_impl(q, k, v, g, interpret):
+    from jax.experimental import pallas as pl
+
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    scale = float(d) ** -0.5
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+    qp = _pad_lanes(q, d_pad).reshape(b * h, lq, d_pad)
+    kp = _pad_lanes(k, d_pad).reshape(b * h, lkv, d_pad)
+    vp = _pad_lanes(v, d_pad).reshape(b * h, lkv, d_pad)
+    gp = _pad_lanes(g, d_pad).reshape(b * h, lq, d_pad)
+
+    grid = (b * h, lq // BWD_BLOCK_Q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BWD_BLOCK_Q, d_pad), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, BWD_BLOCK_Q, d_pad), lambda bi, i: (bi, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BWD_BLOCK_Q, d_pad), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, lkv, d_pad), lambda bi, i: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lkv, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lkv, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp)
+    dq = dq.reshape(b, h, lq, d_pad)[..., :d]
+    dk = dk.reshape(b, h, lkv, d_pad)[..., :d].astype(k.dtype)
+    dv = dv.reshape(b, h, lkv, d_pad)[..., :d].astype(v.dtype)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------

@@ -148,3 +148,94 @@ def make_tiny_snapshot(root: str, xl: bool = False, with_vae: bool = True) -> st
             os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"), vae_params
         )
     return root
+
+
+def make_t5_fast_tokenizer(d):
+    """T5TokenizerFast-compatible files without sentencepiece: a WordLevel
+    tokenizer.json (the 'Fast' backend is the rust `tokenizers` lib)."""
+    from tokenizers import Tokenizer, pre_tokenizers
+    from tokenizers.models import WordLevel
+
+    os.makedirs(d, exist_ok=True)
+    words = ["<pad>", "</s>", "<unk>", "person", "old", "young", "very",
+             "smiling", "a", "photo", "of"]
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(WordLevel(vocab=vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(os.path.join(d, "tokenizer.json"))
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "T5Tokenizer", "eos_token": "</s>",
+                   "pad_token": "<pad>", "unk_token": "<unk>",
+                   "model_max_length": 512}, f)
+    with open(os.path.join(d, "special_tokens_map.json"), "w") as f:
+        json.dump({"eos_token": "</s>", "pad_token": "<pad>",
+                   "unk_token": "<unk>"}, f)
+
+
+def make_tiny_flux_snapshot(root: str, with_vae: bool = True) -> str:
+    """Write a complete tiny FLUX snapshot (transformer + CLIP-L-style
+    pooled encoder + T5 + 4ch VAE) under `root` for hermetic CLI tests."""
+    from sliders_tpu.models import flux, t5 as t5_mod
+
+    os.makedirs(root, exist_ok=True)
+    fcfg = flux.TINY
+    fparams = flux.init_params(jax.random.key(20), fcfg)
+    os.makedirs(os.path.join(root, "transformer"), exist_ok=True)
+    with open(os.path.join(root, "transformer", "config.json"), "w") as f:
+        json.dump({
+            "in_channels": fcfg.in_channels,
+            "num_layers": fcfg.num_layers,
+            "num_single_layers": fcfg.num_single_layers,
+            "attention_head_dim": fcfg.attention_head_dim,
+            "num_attention_heads": fcfg.num_attention_heads,
+            "joint_attention_dim": fcfg.joint_attention_dim,
+            "pooled_projection_dim": fcfg.pooled_projection_dim,
+            "guidance_embeds": fcfg.guidance_embeds,
+            "axes_dims_rope": list(fcfg.axes_dims_rope),
+        }, f)
+    write_safetensors(
+        os.path.join(root, "transformer", "diffusion_pytorch_model.safetensors"),
+        fparams,
+    )
+
+    # CLIP: pooled dim == hidden == fcfg.pooled_projection_dim
+    vocab = make_tokenizer_files(os.path.join(root, "tokenizer"))
+    eos = vocab["<|endoftext|>"]
+    te_cfg = clip_text.ClipTextConfig(
+        vocab_size=len(vocab), hidden_size=fcfg.pooled_projection_dim,
+        num_layers=2, num_heads=2,
+        intermediate_size=2 * fcfg.pooled_projection_dim, max_positions=16,
+        eos_token_id=eos, hidden_act="quick_gelu",
+    )
+    te_params = clip_text.init_params(jax.random.key(21), te_cfg)
+    os.makedirs(os.path.join(root, "text_encoder"), exist_ok=True)
+    with open(os.path.join(root, "text_encoder", "config.json"), "w") as f:
+        json.dump(clip_hf_config(te_cfg), f)
+    write_safetensors(os.path.join(root, "text_encoder", "model.safetensors"), te_params)
+
+    # T5: d_model == joint_attention_dim
+    t5_cfg = t5_mod.T5Config(
+        vocab_size=32, d_model=fcfg.joint_attention_dim, d_kv=8, d_ff=64,
+        num_layers=2, num_heads=2,
+    )
+    t5_params = t5_mod.init_params(jax.random.key(22), t5_cfg)
+    os.makedirs(os.path.join(root, "text_encoder_2"), exist_ok=True)
+    with open(os.path.join(root, "text_encoder_2", "config.json"), "w") as f:
+        json.dump({"vocab_size": t5_cfg.vocab_size, "d_model": t5_cfg.d_model,
+                   "d_kv": t5_cfg.d_kv, "d_ff": t5_cfg.d_ff,
+                   "num_layers": t5_cfg.num_layers,
+                   "num_heads": t5_cfg.num_heads}, f)
+    write_safetensors(
+        os.path.join(root, "text_encoder_2", "model.safetensors"), t5_params
+    )
+    make_t5_fast_tokenizer(os.path.join(root, "tokenizer_2"))
+
+    if with_vae:
+        vae_params = vae.init_params(jax.random.key(23), vae.TINY)
+        os.makedirs(os.path.join(root, "vae"), exist_ok=True)
+        with open(os.path.join(root, "vae", "config.json"), "w") as f:
+            json.dump(vae_hf_config(vae.TINY), f)
+        write_safetensors(
+            os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"), vae_params
+        )
+    return root

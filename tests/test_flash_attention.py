@@ -95,3 +95,38 @@ def test_sd_kernel_blhd_matches_xla_interpret(shape):
     g_ref = jax.grad(lambda q: ref(q, k, v).sum())(q)
     g = jax.grad(lambda q: pa.sd_attention_blhd(q, k, v, 512, True).sum())(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 1024, 40), (1, 2, 1536, 128)])
+def test_sd_kernel_bwd_all_grads_interpret(shape):
+    """Pallas backward kernel (dq + accumulated dk/dv across q-block grid
+    steps): parity with the XLA VJP on all three gradients, with a
+    non-trivial cotangent."""
+    B, H, L, d = shape
+    assert pa.supports_bwd((B, H, L, d), (B, H, L, d))
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (B, H, L, d), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, L, d), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, L, d), jnp.float32)
+    ct = jax.random.normal(ks[3], (B, H, L, d), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pa.sd_attention(q, k, v, 512, True) * ct)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * ct)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_sd_kernel_bwd_supports_policy():
+    assert pa.supports_bwd((2, 8, 4096, 40), (2, 8, 4096, 40))
+    assert pa.supports_bwd((1, 24, 4096, 128), (1, 24, 4096, 128))
+    assert not pa.supports_bwd((2, 8, 4096, 40), (2, 8, 77, 40))  # cross
+    assert not pa.supports_bwd((2, 8, 8192, 40), (2, 8, 8192, 40))  # VMEM
+    assert not pa.supports_bwd((2, 8, 1024, 160), (2, 8, 1024, 160))  # d>128
