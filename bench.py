@@ -299,6 +299,65 @@ def main_sample():
     )
 
 
+def main_turbo():
+    """Secondary metric: SDXL-Turbo few-step protocol latency
+    (demo_SDXL_Turbo.ipynb cell 6: 3 steps, guidance 1 -> no CFG,
+    512px, slider gated by start_noise 700)."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.pipelines import text2image as t2i
+
+    cfg = unet2d.SDXL
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    lora = lnet.create_slider_network(
+        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "euler_a", num_steps=3)
+    fn = t2i.make_sampling_fn(
+        cfg, sampler, use_cfg=False, compute_dtype=jnp.bfloat16, is_xl=True
+    )
+    ks = jax.random.split(jax.random.key(2), 2)
+    cond = jax.random.normal(ks[0], (1, 77, 2048), jnp.bfloat16)
+    pooled = jax.random.normal(ks[1], (1, 1280), jnp.bfloat16)
+    added = {
+        "text_embeds": pooled,
+        "time_ids": jnp.asarray([[512, 512, 0, 0, 512, 512]], jnp.float32),
+    }
+    lats = t2i.initial_latents(jax.random.key(3), 1, 512, 512, sampler.init_noise_sigma)
+
+    def run(key):
+        return fn(
+            unet_params, lats, cond, cond, lora,
+            jnp.asarray(1.0), jnp.asarray(700.0), jnp.asarray(1.0), key,
+            added,
+        )
+
+    out = run(jax.random.key(4))
+    _ = np.asarray(out[0, 0, 0, 0])
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = run(jax.random.key(5 + i))
+    _ = np.asarray(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_turbo_3step_denoise_latency",
+                "value": round(dt / n * 1000, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
@@ -306,5 +365,7 @@ if __name__ == "__main__":
         main_sdxl()
     elif "--model" in sys.argv and "sample" in sys.argv:
         main_sample()
+    elif "--model" in sys.argv and "turbo" in sys.argv:
+        main_turbo()
     else:
         main()
