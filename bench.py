@@ -273,18 +273,20 @@ def main_sample():
     uncond = jax.random.normal(ks[1], (1, 77, 768), jnp.bfloat16)
     lats = t2i.initial_latents(jax.random.key(3), 1, 512, 512, sampler.init_noise_sigma)
 
-    def run(key):
+    def run(key, latents):
         return fn(
-            unet_params, lats, cond, uncond, lora,
+            unet_params, latents, cond, uncond, lora,
             jnp.asarray(1.0), jnp.asarray(1000.0), jnp.asarray(7.5), key,
         )
 
-    out = run(jax.random.key(4))
+    out = run(jax.random.key(4), lats)
     _ = np.asarray(out[0, 0, 0, 0])
     n = 5
     t0 = time.perf_counter()
     for i in range(n):
-        out = run(jax.random.key(5 + i))
+        # chain: each run's input data-depends on the previous output so the
+        # final fetch proves ALL n runs completed (CLAUDE.md timing rule 1)
+        out = run(jax.random.key(5 + i), lats + out * 1e-6)
     _ = np.asarray(out[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     print(
@@ -331,19 +333,20 @@ def main_turbo():
     }
     lats = t2i.initial_latents(jax.random.key(3), 1, 512, 512, sampler.init_noise_sigma)
 
-    def run(key):
+    def run(key, latents):
         return fn(
-            unet_params, lats, cond, cond, lora,
+            unet_params, latents, cond, cond, lora,
             jnp.asarray(1.0), jnp.asarray(700.0), jnp.asarray(1.0), key,
             added,
         )
 
-    out = run(jax.random.key(4))
+    out = run(jax.random.key(4), lats)
     _ = np.asarray(out[0, 0, 0, 0])
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        out = run(jax.random.key(5 + i))
+        # chained so the final fetch data-depends on all timed runs
+        out = run(jax.random.key(5 + i), lats + out * 1e-6)
     _ = np.asarray(out[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     print(

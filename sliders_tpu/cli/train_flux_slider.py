@@ -95,18 +95,23 @@ def main(args):
         num_steps=config.train.max_denoising_steps, image_seq_len=seq_len
     )
     chunk = max(1, config.tpu.steps_per_call)
-    step = make_flux_slider_step(
-        models.transformer_config, sampler, optimizer,
-        resolution=resolution,
-        batch_size=prompts[0].batch_size,
-        transformer_guidance=args.transformer_guidance,
-        compute_dtype=dtype,
-        remat=config.tpu.remat,
-        mesh=mesh,
-        donate=config.tpu.donate,
-        trainable_mask=mask,
-        chunk=chunk,
-    )
+    steps_by_n: dict = {}
+
+    def get_step(n):
+        if n not in steps_by_n:
+            steps_by_n[n] = make_flux_slider_step(
+                models.transformer_config, sampler, optimizer,
+                resolution=resolution,
+                batch_size=prompts[0].batch_size,
+                transformer_guidance=args.transformer_guidance,
+                compute_dtype=dtype,
+                remat=config.tpu.remat,
+                mesh=mesh,
+                donate=config.tpu.donate,
+                trainable_mask=mask,
+                chunk=n,
+            )
+        return steps_by_n[n]
 
     # encode + stack prompt pairs
     pair_dicts = []
@@ -134,17 +139,13 @@ def main(args):
     i = 0
     while i < config.train.iterations:
         n = min(chunk, config.train.iterations - i)
-        if n != chunk:  # uneven tail: one single-step program
-            step_n = make_flux_slider_step(
-                models.transformer_config, sampler, optimizer,
-                resolution=resolution, batch_size=prompts[0].batch_size,
-                transformer_guidance=args.transformer_guidance,
-                compute_dtype=dtype, remat=config.tpu.remat, mesh=mesh,
-                donate=config.tpu.donate, trainable_mask=mask, chunk=n,
-            )
-        else:
-            step_n = step
-        state, metrics = step_n(state, models.transformer_params, pairs)
+        # align chunk ends to the save cadence so periodic artifacts hold
+        # exactly their labeled step's weights (see training/driver.py)
+        per = config.save.per_steps
+        if per and per > 0:
+            boundary = max(((i + per - 1) // per) * per, per)
+            n = min(n, boundary - i + 1)
+        state, metrics = get_step(n)(state, models.transformer_params, pairs)
         per_step = (
             [jax.tree.map(lambda a, j=j: a[j], metrics) for j in range(n)]
             if n > 1

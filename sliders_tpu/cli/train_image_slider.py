@@ -79,6 +79,12 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
         trainable_mask=lnet.trainable_mask(lora),
     )
     compute_dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
+    if config.tpu.steps_per_call > 1:
+        # the reference resamples the paired-image batch EVERY iteration
+        # (train_lora-scale.py:211-220); a chunked scan would freeze one
+        # pair for N steps, so the knob is not honored here
+        print("steps_per_call > 1 is not supported by the image-slider "
+              "trainer (per-iteration image resampling); using 1")
     step = make_image_slider_step(
         models.unet_config, models.vae_config, schedule, sampler, optimizer,
         max_denoising_steps=config.train.max_denoising_steps,

@@ -38,13 +38,22 @@ def _build_lib() -> str | None:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
         return out
     os.makedirs(cache, exist_ok=True)
+    # build to a process-private temp path, then atomically rename: a
+    # concurrent process can never dlopen a half-written .so (no -march=
+    # native — the artifact may be cached in a dir shared across hosts)
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", out, "-ljpeg", "-lpng",
+        "g++", "-O3", "-funroll-loops", "-shared", "-fPIC", "-std=c++17",
+        "-pthread", _SRC, "-o", tmp, "-ljpeg", "-lpng",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return out
 

@@ -121,20 +121,25 @@ class ClipTokenizer:
         self.added_tokens[token] = len(self.vocab) + len(self.added_tokens)
         return 1
 
-    def convert_tokens_to_ids(self, token: str):
+    def convert_tokens_to_ids(self, token: str) -> int:
+        """Single token -> single id (HF contract: a string that is not one
+        vocabulary/added token maps to the unk/eos id, never a list)."""
         token = token.strip().lower()
         if token in self.added_tokens:
             return self.added_tokens[token]
         ids = self.tokenize(token)
-        return ids[0] if len(ids) == 1 else ids
+        return ids[0] if len(ids) == 1 else self.eos_token_id
 
     def tokenize(self, text: str) -> list[int]:
         text = re.sub(r"\s+", " ", text.strip()).lower()
         ids: list[int] = []
         chunks = [text]
         if self.added_tokens:
-            # split out added tokens first so they bypass BPE
-            pat = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+            # split out added tokens first so they bypass BPE; longest-first
+            # so a token that prefixes another (<sks> vs <sks>b) cannot
+            # shadow it (HF added-token matching is longest-match)
+            toks = sorted(self.added_tokens, key=len, reverse=True)
+            pat = "(" + "|".join(re.escape(t) for t in toks) + ")"
             chunks = re.split(pat, text)
         for chunk in chunks:
             if chunk in self.added_tokens:

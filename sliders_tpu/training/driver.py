@@ -256,6 +256,13 @@ def train_text_sliders(
         else:
             hw = (resolution, resolution)
         n = min(chunk_cfg, config.train.iterations - i)
+        # align chunk ends to the save/checkpoint cadences so a periodic
+        # artifact always contains exactly the weights of its labeled step
+        # (host only sees end-of-chunk state)
+        for period in (config.save.per_steps, tpu.state_checkpoint_every):
+            if period and period > 0:
+                boundary = max(((i + period - 1) // period) * period, period)
+                n = min(n, boundary - i + 1)
         step_fn, pairs_for_bucket = get_step(bk, hw, chunk=n)
         state, metrics = step_fn(state, models.unet_params, pairs_for_bucket)
         per_step = (
@@ -289,8 +296,8 @@ def train_text_sliders(
                 and sj != 0
                 and sj != config.train.iterations - 1
             ):
-                # with chunk > 1 the saved weights are the end-of-chunk state
-                # (documented coarsening, core/config.py steps_per_call)
+                # chunk ends are aligned to the cadence above, so `state`
+                # here is exactly the post-step-sj state the label claims
                 print("Saving...")
                 lora_io.save_slider(
                     str(save_dir / f"{config.save.name}_{sj}steps{ext}"),

@@ -86,6 +86,26 @@ def test_tokenizer_add_tokens(tmp_path):
     assert (batch == tid).any()
 
 
+def test_tokenizer_added_token_prefix_no_shadowing(tmp_path):
+    """Longest-match added-token splitting (HF contract): '<sks>' must not
+    shadow '<sks>b' even when registered first."""
+    from helpers import make_tokenizer_files
+    from sliders_tpu.text.tokenizer import ClipTokenizer
+
+    make_tokenizer_files(str(tmp_path))
+    tok = ClipTokenizer.from_pretrained(str(tmp_path))
+    assert tok.add_tokens("<sks>") == 1
+    assert tok.add_tokens("<sks>b") == 1
+    short = tok.convert_tokens_to_ids("<sks>")
+    long = tok.convert_tokens_to_ids("<sks>b")
+    ids = tok.tokenize("a <sks>b photo")
+    assert long in ids and short not in ids
+    ids2 = tok.tokenize("a <sks> photo")
+    assert short in ids2 and long not in ids2
+    # multi-piece strings collapse to a single unk-style id, never a list
+    assert isinstance(tok.convert_tokens_to_ids("old person photo"), int)
+
+
 # ---------------------------------------------------------------------------
 # custom diffusion: modifier token + attn2 deltas in one loadable flow
 # ---------------------------------------------------------------------------

@@ -36,8 +36,11 @@ def test_sd_kernel_supports_policy():
     assert not pa.supports((2, 8, 4096, 40), (2, 8, 77, 40))  # cross-attn
     assert not pa.supports((2, 8, 256, 160), (2, 8, 256, 160))  # tiny L
     assert not pa.supports((2, 8, 1024, 160), (2, 8, 1024, 160))  # d > 128 lanes
-    # score tile + K/V exceed the VMEM budget at 8192 with block 512
-    assert not pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))
+    # longer sequences drop to a smaller q block instead of rejecting
+    assert pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))
+    assert pa.pick_block_q(8192, 8192) == 256
+    # but whole-K/V residency has a hard ceiling
+    assert not pa.supports((2, 8, 16384, 40), (2, 8, 16384, 40))
 
 
 @pytest.mark.parametrize(
