@@ -133,3 +133,51 @@ def test_steps_per_call_chunking(tmp_path):
     # periodic save fired inside the chunk (step 3 of 0..4)
     assert (tmp_path / "out_c" / "chunked_3steps.safetensors").exists()
     assert (tmp_path / "out_c" / "chunked_last.safetensors").exists()
+
+
+@pytest.mark.slow
+def test_chunk_larger_than_save_cadence_saves_exact_states(tmp_path):
+    """steps_per_call=10 with per_steps=2: chunk ends are cadence-aligned,
+    so each periodic artifact holds exactly its labeled step's weights —
+    byte-comparable to the unchunked run's artifacts."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    from helpers import make_tiny_snapshot
+    from safetensors.numpy import load_file
+    from sliders_tpu.core.config import RootConfig
+    from sliders_tpu.models import loader
+    from sliders_tpu.prompts import load_prompts_from_yaml
+    from sliders_tpu.training.driver import train_text_sliders
+
+    snap = make_tiny_snapshot(str(tmp_path / "snap"))
+    models = loader.load_sd(snap, dtype=jnp.float32)
+    pf = tmp_path / "p.yaml"
+    pf.write_text(
+        "- target: person\n  positive: old person\n  unconditional: ''\n"
+        "  neutral: person\n  action: enhance\n  guidance_scale: 2\n"
+        "  resolution: 64\n"
+    )
+    base = {
+        "prompts_file": str(pf),
+        "pretrained_model": {"name_or_path": snap},
+        "network": {"rank": 2, "training_method": "noxattn"},
+        "train": {"precision": "float32", "iterations": 6, "lr": 1e-3,
+                  "max_denoising_steps": 3},
+        "save": {"name": "big", "path": str(tmp_path / "out_big"), "per_steps": 2},
+        "tpu": {"remat": False, "donate": False, "steps_per_call": 10},
+    }
+    prompts = load_prompts_from_yaml(pf)
+    train_text_sliders(RootConfig(**base), prompts, models, seed=4)
+
+    plain = dict(base)
+    plain["save"] = {"name": "ref", "path": str(tmp_path / "out_ref"), "per_steps": 2}
+    plain["tpu"] = {"remat": False, "donate": False}
+    train_text_sliders(RootConfig(**plain), prompts, models, seed=4)
+
+    for s in (2, 4):
+        a = load_file(str(tmp_path / "out_big" / f"big_{s}steps.safetensors"))
+        b = load_file(str(tmp_path / "out_ref" / f"ref_{s}steps.safetensors"))
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-4, atol=1e-7, err_msg=f"step {s}: {k}")
