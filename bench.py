@@ -361,6 +361,75 @@ def main_turbo():
     )
 
 
+def main_image():
+    """Secondary metric: SD1.5 image-slider train step at the reference
+    protocol (train_lora-scale.py: 256px for SD1, batch 1 pair, fused ±s
+    one-batch step with VAE encode)."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d, vae
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.image_slider import make_image_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState
+
+    cfg = unet2d.SD15
+    vae_cfg = vae.SD_VAE
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    vae_params = jax.jit(lambda k: vae.init_params(k, vae_cfg, dtype=jnp.bfloat16))(
+        jax.random.key(1)
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    # imagesliders kaiming a=sqrt(5) drift + conv targets (lora.py drift)
+    lora = lnet.create_slider_network(
+        jax.random.key(2), unet_params, rank=4, alpha=1.0,
+        train_method="noxattn", init_a=5 ** 0.5,
+    )
+    optimizer = opt_factory.make_optimizer(
+        "adamw",
+        opt_factory.make_lr_schedule("constant", 2e-4, 1000),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    step = make_image_slider_step(
+        cfg, vae_cfg, schedule, sampler, optimizer,
+        max_denoising_steps=50, compute_dtype=jnp.bfloat16, remat=False,
+        donate=True,
+    )
+    state = SliderTrainState.create(jax.random.key(3), lora, optimizer)
+    ks = jax.random.split(jax.random.key(4), 5)
+    batch = {
+        "images_high": jax.random.uniform(ks[0], (1, 256, 256, 3), jnp.float32, -1, 1),
+        "images_low": jax.random.uniform(ks[1], (1, 256, 256, 3), jnp.float32, -1, 1),
+        "scale": jnp.asarray(1.0),
+        "positive": jax.random.normal(ks[2], (77, 768), jnp.bfloat16),
+        "neutral": jax.random.normal(ks[3], (77, 768), jnp.bfloat16),
+        "unconditional": jax.random.normal(ks[4], (77, 768), jnp.bfloat16),
+    }
+
+    state, metrics = step(state, unet_params, vae_params, batch)
+    _ = np.asarray(metrics["loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, unet_params, vae_params, batch)
+    _ = np.asarray(metrics["loss"])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "sd15_image_slider_train_steps_per_sec_chip",
+                "value": round(n / dt, 4),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
@@ -370,5 +439,7 @@ if __name__ == "__main__":
         main_sample()
     elif "--model" in sys.argv and "turbo" in sys.argv:
         main_turbo()
+    elif "--model" in sys.argv and "image" in sys.argv:
+        main_image()
     else:
         main()
