@@ -105,14 +105,14 @@ def _use_pallas(q: jax.Array, k: jax.Array, mask) -> bool:
     return fa.supports(q.shape, k.shape)
 
 
-def _use_sd_kernel_shapes(q_shape, k_shape, mask) -> bool:
+def _use_sd_kernel_shapes(q_shape, k_shape, mask, itemsize: int = 2) -> bool:
     if mask is not None:
         return False
     if jax.default_backend() != "tpu":
         return False
     from sliders_tpu.ops import pallas_attention as pa
 
-    return pa.supports(q_shape, k_shape)
+    return pa.supports(q_shape, k_shape, itemsize=itemsize)
 
 
 def multihead_attention(
@@ -139,7 +139,9 @@ def multihead_attention(
     # _split_heads) measured NEUTRAL end-to-end (bench 1.424 vs 1.436
     # steps/s) — the transposed level-0 layouts in the train step are XLA's
     # own conv-driven layout assignment, not forced by the custom call.
-    if impl in ("auto", "pallas") and _use_sd_kernel_shapes(qh.shape, kh.shape, mask):
+    if impl in ("auto", "pallas") and _use_sd_kernel_shapes(
+        qh.shape, kh.shape, mask, itemsize=qh.dtype.itemsize
+    ):
         from sliders_tpu.ops import pallas_attention as pa
 
         out = pa.sd_attention(qh, kh, vh)

@@ -83,7 +83,10 @@ def _sd_attention_impl(q, k, v, block_q, interpret):
     from jax.experimental import pallas as pl
 
     lkv = kp.shape[1]
-    block_q = pick_block_q(lq, None if interpret else lkv, max_block=min(block_q, lq))
+    block_q = pick_block_q(
+        lq, None if interpret else lkv, max_block=min(block_q, lq),
+        itemsize=q.dtype.itemsize,
+    )
     if block_q == 0:
         raise ValueError(f"q length {lq} has no VMEM-fitting 128-multiple block")
     grid = (b * h, lq // block_q)
@@ -109,7 +112,7 @@ def _sd_attention_fwd(q, k, v, block_q, interpret):
 def _sd_attention_bwd(block_q, interpret, res, g):
     q, k, v = res
     if (interpret or jax.default_backend() == "tpu") and supports_bwd(
-        q.shape, k.shape
+        q.shape, k.shape, itemsize=q.dtype.itemsize
     ):
         return _sd_attention_bwd_impl(q, k, v, g, interpret)
     # fallback: differentiate the reference-numerics XLA attention
@@ -183,7 +186,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scal
         dv_ref[0] += dv_c
 
 
-def supports_bwd(q_shape, k_shape, min_seq: int = 1024) -> bool:
+def supports_bwd(q_shape, k_shape, min_seq: int = 1024, itemsize: int = 2) -> bool:
     """Backward-kernel eligibility: same contract as `supports` but with the
     smaller q block (three (bq, L) f32 tiles + f32 dk/dv accumulators)."""
     if len(q_shape) != 4:
@@ -197,9 +200,9 @@ def supports_bwd(q_shape, k_shape, min_seq: int = 1024) -> bool:
     d_pad = LANES
     need = (
         3 * 4 * BWD_BLOCK_Q * lk  # p, dp, ds tiles (f32)
-        + 2 * 2 * lk * d_pad  # K, V (bf16-class)
+        + 2 * itemsize * lk * d_pad  # K, V (input dtype)
         + 2 * 4 * lk * d_pad  # dk, dv accumulators (f32)
-        + 4 * 2 * BWD_BLOCK_Q * d_pad  # q, g, dq blocks
+        + 4 * itemsize * BWD_BLOCK_Q * d_pad  # q, g, dq blocks
     )
     return need <= VMEM_BUDGET
 
@@ -288,7 +291,10 @@ def _sd_attention_blhd_impl(q, k, v, block_q, interpret):
 
     from jax.experimental import pallas as pl
 
-    block_q = pick_block_q(lq, None if interpret else lkv, max_block=min(block_q, lq))
+    block_q = pick_block_q(
+        lq, None if interpret else lkv, max_block=min(block_q, lq),
+        itemsize=q.dtype.itemsize,
+    )
     if block_q == 0:
         raise ValueError(f"q length {lq} has no VMEM-fitting 128-multiple block")
     grid = (b, h, lq // block_q)
@@ -335,25 +341,39 @@ sd_attention_blhd.defvjp(_sd_attention_blhd_fwd, _sd_attention_blhd_bwd)
 VMEM_BUDGET = 13 * 2**20  # ~16 MB/core minus pipelining headroom
 
 
-def _fwd_need(block_q: int, lkv: int) -> int:
-    """VMEM working set: f32 score tile + bf16 K, V, Q-block, O-block."""
+FWD_VMEM_LIMIT = 15 * 2**20  # 16 MB scoped-vmem limit minus safety margin
+
+
+def _fwd_need(block_q: int, lkv: int, itemsize: int = 2) -> int:
+    """Mosaic's scoped-VMEM accounting for the forward kernel: f32 score
+    tile + DOUBLE-BUFFERED K/V/Q/O blocks at the INPUT dtype width.
+    Calibrated against a real compile-OOM: f32 block-512 L=4096 allocates
+    16.9 MB against the 16 MB limit (a bf16-only single-buffer estimate
+    under-counted and crashed the f32 sweep generator, round-2)."""
     d_pad = LANES
-    return 4 * block_q * lkv + 2 * 2 * lkv * d_pad + 2 * 2 * block_q * d_pad
+    return (
+        4 * block_q * lkv
+        + 2 * (2 * itemsize * lkv * d_pad)
+        + 2 * (2 * itemsize * block_q * d_pad)
+    )
 
 
-def pick_block_q(lq: int, lkv: int | None = None, max_block: int = DEFAULT_BLOCK_Q) -> int:
+def pick_block_q(
+    lq: int, lkv: int | None = None, max_block: int = DEFAULT_BLOCK_Q,
+    itemsize: int = 2,
+) -> int:
     """Largest 128-multiple q block that divides lq and (when lkv is given)
     fits the VMEM budget — longer sequences take smaller blocks rather than
     falling back to the 3-8x-slower XLA path."""
     for b in (512, 256, 128):
         if b > max_block or lq % b != 0:
             continue
-        if lkv is None or _fwd_need(b, lkv) <= VMEM_BUDGET:
+        if lkv is None or _fwd_need(b, lkv, itemsize) <= FWD_VMEM_LIMIT:
             return b
     return 0
 
 
-def supports(q_shape, k_shape, min_seq: int = 1024) -> bool:
+def supports(q_shape, k_shape, min_seq: int = 1024, itemsize: int = 2) -> bool:
     """Shapes this kernel should take over from XLA: long self-attention
     (q_len == kv_len), whole K/V resident per program, d <= the 128 lanes.
 
@@ -370,4 +390,4 @@ def supports(q_shape, k_shape, min_seq: int = 1024) -> bool:
         return False
     if d > LANES:
         return False
-    return pick_block_q(lq, lk) != 0
+    return pick_block_q(lq, lk, itemsize=itemsize) != 0

@@ -38,7 +38,11 @@ def test_sd_kernel_supports_policy():
     assert not pa.supports((2, 8, 1024, 160), (2, 8, 1024, 160))  # d > 128 lanes
     # longer sequences drop to a smaller q block instead of rejecting
     assert pa.supports((2, 8, 8192, 40), (2, 8, 8192, 40))
-    assert pa.pick_block_q(8192, 8192) == 256
+    assert pa.pick_block_q(8192, 8192) == 128
+    # f32 inputs double the K/V footprint -> smaller blocks (the f32
+    # sweep generator compile-OOM'd before dtype-aware budgeting)
+    assert pa.pick_block_q(4096, 4096, itemsize=4) == 256
+    assert not pa.supports_bwd((2, 8, 4096, 40), (2, 8, 4096, 40), itemsize=4)
     # but whole-K/V residency has a hard ceiling
     assert not pa.supports((2, 8, 16384, 40), (2, 8, 16384, 40))
 
