@@ -11,13 +11,16 @@ diffusers VaeImageProcessor: [0,255] -> [-1,1], NHWC float32.
 
 from __future__ import annotations
 
+import logging
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp")
+
+logger = logging.getLogger(__name__)
 
 
 def preprocess_image(img, resolution: int) -> np.ndarray:
@@ -34,6 +37,7 @@ class PairedImageFolders:
     folder_main: str
     folders: list[str]  # aligned with scales
     scales: list[float]
+    _bad_files: set = field(default_factory=set, repr=False)
 
     def __post_init__(self):
         if len(self.folders) != len(self.scales):
@@ -56,10 +60,31 @@ class PairedImageFolders:
 
         Uses the native C++ loader (data/native_loader.py: libjpeg/libpng
         decode + PIL-equivalent bicubic, threaded) when it builds; set
-        SLIDERS_TPU_NO_NATIVE_LOADER=1 to force the PIL path."""
+        SLIDERS_TPU_NO_NATIVE_LOADER=1 to force the PIL path.
+
+        Malformed/missing images are skipped with a warning and a fresh
+        filename is drawn (the reference tolerates bad images mid-run,
+        trainscripts/imagesliders/train_lora-scale-xl.py:261-286, so one
+        corrupt file must never abort a long training job). A filename that
+        failed once is excluded for the rest of the run; if every file of a
+        scale is bad, raises RuntimeError."""
         s = float(rng.choice(self.scales_unique))
-        names = self.filenames(-s)
-        name = names[int(rng.integers(len(names)))]
+        names = [n for n in self.filenames(-s) if (s, n) not in self._bad_files]
+        while names:
+            name = names[int(rng.integers(len(names)))]
+            try:
+                return (s, *self._load_pair(s, name, resolution))
+            except (OSError, ValueError) as e:
+                logger.warning(
+                    "skipping unreadable image pair %r (scale %s): %s", name, s, e
+                )
+                self._bad_files.add((s, name))
+                names.remove(name)
+        raise RuntimeError(
+            f"no decodable image pairs left for scale {s} under {self.folder_main}"
+        )
+
+    def _load_pair(self, s: float, name: str, resolution: int):
         lo_path = os.path.join(self.folder_main, self._by_scale[-s], name)
         hi_path = os.path.join(self.folder_main, self._by_scale[s], name)
         if not os.environ.get("SLIDERS_TPU_NO_NATIVE_LOADER"):
@@ -67,12 +92,11 @@ class PairedImageFolders:
 
             if native_loader.available():
                 lo, hi = native_loader.load_batch([lo_path, hi_path], resolution)
-                return s, lo, hi
+                return lo, hi
         from PIL import Image
 
-        lo = Image.open(lo_path)
-        hi = Image.open(hi_path)
-        return s, preprocess_image(lo, resolution), preprocess_image(hi, resolution)
+        with Image.open(lo_path) as lo, Image.open(hi_path) as hi:
+            return preprocess_image(lo, resolution), preprocess_image(hi, resolution)
 
 
 def parse_folder_args(folders: str, scales: str) -> tuple[list[str], list[float]]:

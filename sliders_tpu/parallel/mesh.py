@@ -23,6 +23,36 @@ DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
 
 
+def maybe_initialize_distributed() -> int:
+    """Multi-host (DCN) process-group stub — SURVEY.md §5.8.
+
+    When launched under a multi-process TPU runtime (GKE/JobSet or
+    `gcloud ... tpu-vm ssh --worker=all`), the env exposes
+    SLIDERS_NUM_PROCESSES (or the standard JAX coordination vars) and each
+    process must join the cluster before any device op so `jax.devices()`
+    returns the GLOBAL device list. Single-process runs (everything
+    testable in this environment) are a no-op.
+
+    Multi-host data paths ride DCN; everything this framework shards
+    (dp batch, tp attention/ff) is laid out so collectives stay on ICI
+    within a slice — the dp axis should span hosts only for pure
+    gradient psum (LoRA grads are KB-sized, DCN-tolerable).
+
+    Returns the process count (1 when single-process). Untestable beyond
+    the single-process path in this environment (one real chip).
+    """
+    import os
+
+    n = int(os.environ.get("SLIDERS_NUM_PROCESSES", "1"))
+    if n > 1:
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("SLIDERS_COORDINATOR"),
+            num_processes=n,
+            process_id=int(os.environ.get("SLIDERS_PROCESS_ID", "0")),
+        )
+    return n
+
+
 def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     """Build a (dp, tp) mesh. dp=-1 means all remaining devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -59,34 +89,55 @@ def replicate(mesh: Mesh, tree):
 
 # --- tensor-parallel param sharding rules (opt-in, for SDXL @ 1024px) -------
 #
-# Path-suffix rules over the diffusers-style param paths. Attention head
-# projections and the transformer MLP are sharded on their output features
-# (heads dim), the output projections on input features, so each attention /
-# ff block needs a single psum on its output — the Megatron split, expressed
-# purely through NamedSharding and left to XLA to turn into ICI collectives.
+# Regex rules over the diffusers-style param paths (matched with re.search).
+# Attention head projections and the transformer MLP are sharded on their
+# output features (heads dim), the output projections on input features, so
+# each attention / ff block needs a single psum on its output — the Megatron
+# split, expressed purely through NamedSharding and left to XLA to turn into
+# ICI collectives. Per-head ops between the shardings (SD softmax heads,
+# FLUX RMS q/k norm + RoPE — both reduce only over the head dim) stay local.
 
 _TP_RULES: list[tuple[str, tuple]] = [
-    # attention qkv: weight stored (in, out) -> shard out(features=heads*dh)
-    ("to_q.weight", (None, MODEL_AXIS)),
-    ("to_k.weight", (None, MODEL_AXIS)),
-    ("to_v.weight", (None, MODEL_AXIS)),
-    ("to_q.bias", (MODEL_AXIS,)),
-    ("to_k.bias", (MODEL_AXIS,)),
-    ("to_v.bias", (MODEL_AXIS,)),
-    # attention out proj: shard in
-    ("to_out.0.weight", (MODEL_AXIS, None)),
-    # GEGLU ff: proj (in, 2*hidden) sharded on out; down proj on in
-    ("ff.net.0.proj.weight", (None, MODEL_AXIS)),
-    ("ff.net.0.proj.bias", (MODEL_AXIS,)),
-    ("ff.net.2.weight", (MODEL_AXIS, None)),
+    # attention qkv (SD + FLUX img stream): (in, out) -> shard out (heads*dh)
+    (r"to_[qkv]\.weight$", (None, MODEL_AXIS)),
+    (r"to_[qkv]\.bias$", (MODEL_AXIS,)),
+    # FLUX double-block context-stream qkv
+    (r"add_[qkv]_proj\.weight$", (None, MODEL_AXIS)),
+    (r"add_[qkv]_proj\.bias$", (MODEL_AXIS,)),
+    # attention out projections: shard in (bias replicated: added post-psum)
+    (r"to_out\.0\.weight$", (MODEL_AXIS, None)),
+    (r"to_add_out\.weight$", (MODEL_AXIS, None)),
+    # SD GEGLU ff: proj (in, 2*hidden) sharded on out; down proj on in
+    (r"ff\.net\.0\.proj\.weight$", (None, MODEL_AXIS)),
+    (r"ff\.net\.0\.proj\.bias$", (MODEL_AXIS,)),
+    (r"ff\.net\.2\.weight$", (MODEL_AXIS, None)),
+    # FLUX MLPs (double-block ff/ff_context share the net.0/net.2 naming)
+    (r"ff_context\.net\.0\.proj\.weight$", (None, MODEL_AXIS)),
+    (r"ff_context\.net\.0\.proj\.bias$", (MODEL_AXIS,)),
+    (r"ff_context\.net\.2\.weight$", (MODEL_AXIS, None)),
+    # FLUX single blocks: fused mlp up-proj on out; the (5D, D) fused out
+    # projection on in (its input concat[attn_out, mlp] is tp-sharded on
+    # features, so the contraction stays local until the single psum).
+    # Anchored under the block index so the model-level proj_out (final
+    # patch de-embedding, models/flux.py:280) stays replicated.
+    (r"single_transformer_blocks\.\d+\.proj_mlp\.weight$", (None, MODEL_AXIS)),
+    (r"single_transformer_blocks\.\d+\.proj_mlp\.bias$", (MODEL_AXIS,)),
+    (r"single_transformer_blocks\.\d+\.proj_out\.weight$", (MODEL_AXIS, None)),
 ]
+
+_TP_RULES_COMPILED = None
 
 
 def param_spec(path: str, tp_enabled: bool) -> P:
     """PartitionSpec for one param path under the tp rules."""
+    global _TP_RULES_COMPILED
     if tp_enabled:
-        for suffix, axes in _TP_RULES:
-            if path.endswith(suffix):
+        if _TP_RULES_COMPILED is None:
+            import re
+
+            _TP_RULES_COMPILED = [(re.compile(pat), axes) for pat, axes in _TP_RULES]
+        for pat, axes in _TP_RULES_COMPILED:
+            if pat.search(path):
                 return P(*axes)
     return P()
 

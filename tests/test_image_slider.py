@@ -77,6 +77,38 @@ def test_paired_folders(tmp_path):
         parse_folder_args("a,b", "1")
 
 
+def test_paired_folders_skip_malformed(tmp_path, caplog):
+    """One corrupt file must never abort a run: sample_pair skips it with a
+    warning and keeps serving good pairs (reference tolerance,
+    train_lora-scale-xl.py:261-286). VERDICT r2 item 5."""
+    import logging
+
+    for folder, val in (("low", 40), ("high", 200)):
+        os.makedirs(tmp_path / folder)
+        _write_img(tmp_path / folder / "good.png", val)
+        # truncated garbage that fails BOTH the native and PIL decoders
+        (tmp_path / folder / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\n garbage")
+    ds = PairedImageFolders(str(tmp_path), ["low", "high"], [-1.0, 1.0])
+    rng = np.random.default_rng(0)
+    with caplog.at_level(logging.WARNING, "sliders_tpu.data.paired_images"):
+        for _ in range(8):  # enough draws to hit bad.png with any seed
+            s, lo, hi = ds.sample_pair(rng, 16)
+            assert lo.shape == (16, 16, 3)
+            assert hi.mean() > lo.mean()
+    assert ("high", "bad.png") not in ds._bad_files  # keyed by (scale, name)
+    assert (1.0, "bad.png") in ds._bad_files
+    assert any("bad.png" in r.getMessage() for r in caplog.records)
+
+    # a dataset with ONLY bad files fails loudly, not silently
+    only_bad = tmp_path / "allbad"
+    for folder in ("low", "high"):
+        os.makedirs(only_bad / folder)
+        (only_bad / folder / "x.png").write_bytes(b"nope")
+    ds2 = PairedImageFolders(str(only_bad), ["low", "high"], [-1.0, 1.0])
+    with pytest.raises(RuntimeError, match="no decodable image pairs"):
+        ds2.sample_pair(rng, 16)
+
+
 def test_image_slider_step_runs_and_learns():
     ucfg = unet2d.TINY
     vcfg = vae.TINY
