@@ -66,36 +66,52 @@ def enumerate_conv_shapes(cfg, batch, res):
     return records
 
 
-def time_conv(xshape, wshape, stride, samples=3, chain=30):
+def time_conv(xshape, wshape, stride, samples=4, inner=(20, 320)):
+    """Time ONE conv differentially: run a data-chained conv loop inside a
+    single jitted program at two trip counts and take the slope
+    (t_long - t_short) / (n_long - n_short). This cancels BOTH the
+    per-dispatch tunnel overhead (~25 ms, which floors a naive
+    per-iteration estimate at ~0.5 ms) and the host-fetch latency."""
     kh, kw, cin, cout = wshape
     pad = "SAME" if kh == 3 else "VALID"
 
-    @jax.jit
-    def run(x, w, b, prev):
-        # data-depend on the previous chain link at negligible cost
-        x = x * (1.0 + prev * 0.0)
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(stride, stride), padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + b
-        return y.mean().astype(jnp.float32)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n")
+    def run(x, w, b, prev, n):
+        def body(i, carry):
+            xx, acc = carry
+            y = jax.lax.conv_general_dilated(
+                xx, w, window_strides=(stride, stride), padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + b
+            # cheap data dependence: next input depends on this output
+            link = y[0, 0, 0, 0].astype(jnp.float32)
+            xx = xx * (1.0 + link * 1e-30).astype(xx.dtype)
+            return (xx, acc + link)
+
+        x = x * (1.0 + prev * 1e-30).astype(x.dtype)
+        (_, acc) = jax.lax.fori_loop(0, n, body, (x, jnp.asarray(0.0)))
+        return acc
 
     k1, k2 = jax.random.split(jax.random.key(0))
     x = jax.random.normal(k1, xshape, jnp.bfloat16)
     w = jax.random.normal(k2, wshape, jnp.bfloat16) * (cin * kh * kw) ** -0.5
     b = jnp.zeros((cout,), jnp.bfloat16)
 
-    prev = run(x, w, b, jnp.asarray(0.0))
-    _ = np.asarray(prev)  # warm + compile
-    best = float("inf")
+    n0, n1 = inner
+    best = {n0: float("inf"), n1: float("inf")}
+    prev = run(x, w, b, jnp.asarray(0.0), n0)
+    _ = np.asarray(prev)
+    prev = run(x, w, b, prev, n1)
+    _ = np.asarray(prev)  # both variants compiled + warm
     for _ in range(samples):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            prev = run(x, w, b, prev)
-        _ = np.asarray(prev)
-        dt = (time.perf_counter() - t0) / chain
-        best = min(best, dt)
-    return best
+        for n in (n0, n1):
+            t0 = time.perf_counter()
+            prev = run(x, w, b, prev, n)
+            _ = np.asarray(prev)
+            best[n] = min(best[n], time.perf_counter() - t0)
+    return (best[n1] - best[n0]) / (n1 - n0)
 
 
 def main():

@@ -150,6 +150,43 @@ def make_tiny_snapshot(root: str, xl: bool = False, with_vae: bool = True) -> st
     return root
 
 
+def make_tiny_clip_snapshot(root: str) -> str:
+    """Write a tiny openai/clip-vit-base-patch32-style snapshot (full CLIP:
+    vision tower + text tower + projections) loadable by
+    models.clip_vision.load_clip_model — lets the clip_score CLI run
+    hermetically in CI."""
+    from sliders_tpu.models import clip_vision
+
+    os.makedirs(root, exist_ok=True)
+    vocab = make_tokenizer_files(root)  # CLIP snapshots keep tokenizer at top level
+    v_cfg = clip_vision.TINY_VISION
+    t_cfg = clip_text.ClipTextConfig(
+        vocab_size=len(vocab), hidden_size=24, num_layers=2, num_heads=2,
+        intermediate_size=48, max_positions=16,
+        eos_token_id=vocab["<|endoftext|>"], projection_dim=16,
+    )
+    params = clip_vision.init_params(jax.random.key(7), v_cfg, t_cfg, projection_dim=16)
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump(
+            {
+                "projection_dim": 16,
+                "vision_config": {
+                    "hidden_size": v_cfg.hidden_size,
+                    "num_hidden_layers": v_cfg.num_layers,
+                    "num_attention_heads": v_cfg.num_heads,
+                    "intermediate_size": v_cfg.intermediate_size,
+                    "image_size": v_cfg.image_size,
+                    "patch_size": v_cfg.patch_size,
+                    "hidden_act": v_cfg.hidden_act,
+                },
+                "text_config": clip_hf_config(t_cfg),
+            },
+            f,
+        )
+    write_safetensors(os.path.join(root, "model.safetensors"), params)
+    return root
+
+
 def make_t5_fast_tokenizer(d):
     """T5TokenizerFast-compatible files without sentencepiece: a WordLevel
     tokenizer.json (the 'Fast' backend is the rust `tokenizers` lib)."""
