@@ -109,10 +109,21 @@ def _sd_attention_fwd(q, k, v, block_q, interpret):
     return _sd_attention_impl(q, k, v, block_q, interpret), (q, k, v)
 
 
+# Routing policy for the backward kernel, by measured win (BASELINE.md
+# round-2 hardware A/B): d=128 FLUX train +5% (XLA's attention VJP
+# materializes the (L, L) f32 probability tensors in HBM; large d amortizes
+# the kernel's recompute), but d=40 SD1.5 was NEUTRAL (1.4815 vs 1.4841
+# steps/s — within run variance). Only d >= BWD_MIN_D routes to the custom
+# backward on hardware; smaller d falls back to the XLA VJP. interpret mode
+# always uses the kernel so CPU parity tests cover it at every shape.
+BWD_MIN_D = 96
+
+
 def _sd_attention_bwd(block_q, interpret, res, g):
     q, k, v = res
-    if (interpret or jax.default_backend() == "tpu") and supports_bwd(
-        q.shape, k.shape, itemsize=q.dtype.itemsize
+    if (
+        (interpret or (jax.default_backend() == "tpu" and q.shape[3] >= BWD_MIN_D))
+        and supports_bwd(q.shape, k.shape, itemsize=q.dtype.itemsize)
     ):
         return _sd_attention_bwd_impl(q, k, v, g, interpret)
     # fallback: differentiate the reference-numerics XLA attention

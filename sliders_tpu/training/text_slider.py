@@ -85,6 +85,7 @@ def make_text_slider_step(
     is_xl: bool = False,
     donate: bool = True,
     denoise_merged: bool = False,
+    fused_tail: bool = False,
     chunk: int = 1,
 ):
     """Build the jitted train step:
@@ -209,34 +210,69 @@ def make_text_slider_step(
         t_cur = ts1000[t_idx]
         x_scaled = (denoised * scale1000[t_idx]).astype(compute_dtype)
 
-        # ---- 4. frozen eps: ONE batched pass for positive/neutral/uncond ----
-        ehs3 = jnp.concatenate(
-            [rep(pair["positive"]), rep(pair["neutral"]), rep(pair["unconditional"])]
-        )
-        added3 = added_concat(
-            added_from(pair, "positive"),
-            added_from(pair, "neutral"),
-            added_from(pair, "unconditional"),
-        )
-        x3 = jnp.tile(x_scaled, (3, 1, 1, 1))
-        frozen = unet_fn(unet_params, x3, t_cur, ehs3, added3)  # slider OFF
-        eps_pos, eps_neu, eps_unc = jnp.split(
-            jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0
-        )
+        if fused_tail:
+            # ---- 4+5 fused: ONE batch-4 pass for pos/neu/unc (slider OFF
+            # via per-sample multiplier 0) + target (slider ON). The frozen
+            # samples contribute exactly-zero LoRA grads (the LoRA branch is
+            # mult*up(down(x))), so slicing the cotangent to the target rows
+            # reproduces the unfused grads; the A/B question is whether the
+            # batch-4 MXU-utilization gain beats paying the backward dx-chain
+            # for 4 samples instead of 1 (BASELINE.md round-3). ----
+            ehs4 = jnp.concatenate(
+                [rep(pair[r]) for r in ("positive", "neutral", "unconditional", "target")]
+            )
+            added4 = added_concat(
+                *[added_from(pair, r) for r in ("positive", "neutral", "unconditional", "target")]
+            ) if is_xl else None
+            x4 = jnp.tile(x_scaled, (4, 1, 1, 1))
+            mult4 = jnp.concatenate(
+                [jnp.zeros(3 * batch_size), jnp.ones(batch_size)]
+            )
 
-        # ---- 5+6. grad pass on the target prompt, slider ON ----
-        goal = eps_neu + pair["guidance_signed"] * (eps_pos - eps_unc)
-        added1 = added_from(pair, "target")
+            def fwd4(lora_weights):
+                return unet_fn(
+                    unet_params, x4, t_cur, ehs4, added4,
+                    lora=SliderLora(weights=lora_weights, multiplier=mult4),
+                )
 
-        def loss_fn(lora_weights):
-            eps_t = unet_fn(
-                unet_params, x_scaled, t_cur, rep(pair["target"]), added1,
-                lora=SliderLora(weights=lora_weights, multiplier=jnp.asarray(1.0)),
-            ).astype(jnp.float32)
+            eps4, vjp_fn = jax.vjp(fwd4, state.lora)
+            eps4_f = jax.lax.stop_gradient(eps4.astype(jnp.float32))
+            eps_pos, eps_neu, eps_unc, eps_t = jnp.split(eps4_f, 4, axis=0)
+            goal = eps_neu + pair["guidance_signed"] * (eps_pos - eps_unc)
             diff = eps_t - goal
-            return jnp.mean(diff * diff)
+            loss = jnp.mean(diff * diff)
+            # dL/deps_t of mean(diff^2), zero on the frozen rows
+            ct = jnp.zeros_like(eps4_f).at[3 * batch_size :].set(2.0 / diff.size * diff)
+            (grads,) = vjp_fn(ct.astype(eps4.dtype))
+        else:
+            # ---- 4. frozen eps: ONE batched pass for positive/neutral/uncond ----
+            ehs3 = jnp.concatenate(
+                [rep(pair["positive"]), rep(pair["neutral"]), rep(pair["unconditional"])]
+            )
+            added3 = added_concat(
+                added_from(pair, "positive"),
+                added_from(pair, "neutral"),
+                added_from(pair, "unconditional"),
+            )
+            x3 = jnp.tile(x_scaled, (3, 1, 1, 1))
+            frozen = unet_fn(unet_params, x3, t_cur, ehs3, added3)  # slider OFF
+            eps_pos, eps_neu, eps_unc = jnp.split(
+                jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.lora)
+            # ---- 5+6. grad pass on the target prompt, slider ON ----
+            goal = eps_neu + pair["guidance_signed"] * (eps_pos - eps_unc)
+            added1 = added_from(pair, "target")
+
+            def loss_fn(lora_weights):
+                eps_t = unet_fn(
+                    unet_params, x_scaled, t_cur, rep(pair["target"]), added1,
+                    lora=SliderLora(weights=lora_weights, multiplier=jnp.asarray(1.0)),
+                ).astype(jnp.float32)
+                diff = eps_t - goal
+                return jnp.mean(diff * diff)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.lora)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
         lora = optax.apply_updates(state.lora, updates)
 

@@ -213,3 +213,35 @@ def test_chunked_step_matches_sequential(setup):
             np.asarray(s_seq.lora[mname]["up"]),
             rtol=1e-4, atol=1e-8,
         )
+
+
+def test_fused_tail_matches_unfused(setup):
+    """`fused_tail=True` (frozen batch-3 + target grad pass as ONE batch-4
+    UNet call with per-sample multipliers [0,0,0,1] and a row-sliced vjp
+    cotangent) must reproduce the unfused loss AND LoRA update — it is a
+    perf A/B knob, not a semantic one (VERDICT r2 item 1)."""
+    cfg, unet_params, optimizer, step, state = setup
+    pairs = _make_pairs(jax.random.key(3), n_pairs=1)
+    state1, _ = step(state, unet_params, pairs)
+
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=10)
+    fused_step = make_text_slider_step(
+        cfg, schedule, sampler, optimizer,
+        max_denoising_steps=10, resolution=128, batch_size=2,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+        fused_tail=True,
+    )
+    s_ref, m_ref = step(state1, unet_params, pairs)
+    s_fused, m_fused = fused_step(state1, unet_params, pairs)
+    assert int(m_ref["t_to"]) == int(m_fused["t_to"])
+    np.testing.assert_allclose(
+        float(m_fused["loss"]), float(m_ref["loss"]), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(m_fused["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-4, atol=1e-8
+    )
+    a = jax.tree.leaves(s_ref.lora)
+    b = jax.tree.leaves(s_fused.lora)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
