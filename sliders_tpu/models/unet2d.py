@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from sliders_tpu.ops import basic
 from sliders_tpu.ops.attention import multihead_attention
 from sliders_tpu.ops.basic import (
     SliderLora,
@@ -192,10 +193,12 @@ def _transformer2d(
     h = group_norm(p["norm"], x, cfg.norm_num_groups, eps=1e-6)
     if cfg.use_linear_projection:
         h = h.reshape(B, H * W, C)
+        h = basic.layout_pin(h)  # stop conv-driven L-minor layouts (see ops.basic)
         h = linear(p["proj_in"], h, lora=lora, name=f"{name}.proj_in")
     else:
         h = conv2d(p["proj_in"], h, padding=0, lora=lora, name=f"{name}.proj_in")
         h = h.reshape(B, H * W, C)
+        h = basic.layout_pin(h)
 
     block_fn = _basic_transformer_block
     if remat:
@@ -206,8 +209,10 @@ def _transformer2d(
 
     if cfg.use_linear_projection:
         h = linear(p["proj_out"], h, lora=lora, name=f"{name}.proj_out")
+        h = basic.layout_pin(h)
         h = h.reshape(B, H, W, C)
     else:
+        h = basic.layout_pin(h)
         h = h.reshape(B, H, W, C)
         h = conv2d(p["proj_out"], h, padding=0, lora=lora, name=f"{name}.proj_out")
     return h + residual

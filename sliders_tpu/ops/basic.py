@@ -200,3 +200,69 @@ ACTIVATIONS = {
     "quick_gelu": quick_gelu,
     "gelu": gelu,
 }
+
+
+# ---------------------------------------------------------------------------
+# layout pinning
+# ---------------------------------------------------------------------------
+
+_LAYOUT_PIN = False
+
+
+def set_layout_pin(enabled: bool) -> None:
+    """Toggle transformer-boundary layout pinning (TPU perf knob, see
+    `layout_pin`). Takes effect on the next trace/jit."""
+    global _LAYOUT_PIN
+    _LAYOUT_PIN = bool(enabled)
+
+
+def _layout_pin_call(x: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+
+    def _kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    B, L, C = x.shape
+    return pl.pallas_call(
+        _kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, L, C), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, L, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x)
+
+
+@jax.custom_vjp
+def _layout_pin(x: jax.Array) -> jax.Array:
+    return _layout_pin_call(x)
+
+
+def _layout_pin_fwd(x):
+    return _layout_pin_call(x), None
+
+
+def _layout_pin_bwd(_, g):
+    # pin the cotangent too: the backward pass's token tensors suffer the
+    # same conv-driven layout propagation as the forward's
+    return (_layout_pin_call(g),)
+
+
+_layout_pin.defvjp(_layout_pin_fwd, _layout_pin_bwd)
+
+
+def layout_pin(x: jax.Array) -> jax.Array:
+    """Identity custom call that pins `x` to the default row-major layout.
+
+    Why: in the SDXL train step XLA's layout assignment propagates the
+    convs' spatial-transformed layouts through the (B,H,W,C)->(B,L,C)
+    reshape into the transformer blocks, leaving the token tensors L-minor
+    ({1,2,0}); every LayerNorm channel reduction then runs ~30x slower than
+    HBM bandwidth (measured 240 ms/step of convert_reduce fusions,
+    BASELINE.md round-3). A Pallas identity forces standard layouts at the
+    boundary (custom-call operands/results are row-major), paying one cheap
+    relayout copy instead. Identity VJP (also pinned). No-op unless enabled
+    via `set_layout_pin` AND running on TPU.
+    """
+    if not _LAYOUT_PIN or jax.default_backend() != "tpu" or x.ndim != 3:
+        return x
+    return _layout_pin(x)

@@ -1,0 +1,117 @@
+"""Custom Pallas TPU kernel for the UNet's 3x3 stride-1 SAME convolutions.
+
+Why try to beat XLA here (measured, v5e conv microbenchmark 2026-08-17 —
+experiments/conv_bench.py, BASELINE.md round-3): the SD1.5/SDXL UNet's 3x3
+convs run at 30-70% MXU under XLA's conv emitter (e.g. 48% at the level-0
+(2,64,64,320)x(3,3,320,320) shape, 30% at the bandwidth-bound 8x8 bottleneck
+shapes), totalling 8.18 ms measured vs 4.51 ms ideal per SD1.5 CFG forward.
+Backend conv-emitter tuning flags are rejected by the remote-tunnel client
+(CLAUDE.md §7), so a kernel is the only remaining lever on this path.
+
+Design (TPU-first, not an im2col translation):
+  - NHWC activations, HWIO weights — channels on the 128 MXU lanes.
+  - The input image is padded once outside the kernel; each program holds
+    the WHOLE padded image for one batch element in VMEM (at 512px training
+    resolutions every UNet level fits: 66x66x320 bf16 = 2.7 MB) and one
+    N-tile of the weights.
+  - The 3x3 window sum is 9 static (dy, dx) shifts, each a
+    (H*W, C) x (C, TN) MXU matmul accumulated in f32 — no materialized
+    im2col patches, no HBM score traffic, weights are read exactly once.
+  - Bias is fused into the accumulator; the surrounding SiLU/residual
+    elementwise work stays in XLA fusions (one extra cheap pass).
+
+Routing: `supports()` gates on shape + a VMEM budget (same discipline as
+ops/pallas_attention); `ops.basic.conv2d` consults it only when the
+experiment flag is on. Per-shape A/B results live in BASELINE.md — the
+kernel only owns shapes with a recorded win.
+
+Reference context: the reference inherits its convs from torch/cuDNN
+(SURVEY.md §2 preamble); this file is the TPU-native counterpart of that
+library layer, like ops/pallas_attention.py is for xformers attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+VMEM_LIMIT = 13 * 2**20  # ~16 MB/core minus pipelining headroom
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, H: int, W: int, with_bias: bool):
+    """One (batch element, N-tile) program: whole padded image x one weight
+    tile. x_ref: (1, H+2, W+2, C); w_ref: (3, 3, C, TN); o_ref: (1, H, W, TN)."""
+    tn = o_ref.shape[-1]
+    acc = jnp.zeros((H * W, tn), jnp.float32)
+    if with_bias:
+        acc = acc + b_ref[...].astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_ref[0, dy : dy + H, dx : dx + W, :].reshape(H * W, -1)
+            acc = acc + jax.lax.dot(
+                xs, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    o_ref[0] = acc.reshape(H, W, tn).astype(o_ref.dtype)
+
+
+def _pick_tn(H: int, W: int, C: int, N: int, itemsize: int) -> int:
+    """Largest N-tile that (a) divides N, (b) is lane-friendly, and (c) fits
+    the VMEM budget next to the whole padded image (double-buffered blocks)."""
+    x_bytes = 2 * itemsize * (H + 2) * (W + 2) * C
+    for tn in (N, N // 2, N // 4, N // 8, LANES):
+        if tn < LANES or N % tn != 0:
+            continue
+        need = (
+            x_bytes
+            + 2 * itemsize * 9 * C * tn  # weight tile, double-buffered
+            + 2 * itemsize * H * W * tn  # out tile, double-buffered
+            + 4 * H * W * tn  # f32 accumulator
+        )
+        if need <= VMEM_LIMIT:
+            return tn
+    return 0
+
+
+def supports(x_shape, w_shape, stride: int = 1, itemsize: int = 2) -> bool:
+    """3x3 stride-1 SAME convs whose padded image + a >=128-lane weight tile
+    fit VMEM. Small-C stems (C < 64) stay with XLA (lane-starved here too)."""
+    if len(x_shape) != 4 or len(w_shape) != 4 or stride != 1:
+        return False
+    kh, kw, C, N = w_shape
+    B, H, W, Cx = x_shape
+    if (kh, kw) != (3, 3) or Cx != C or C < 64 or N < LANES:
+        return False
+    if (H * W) % 8 != 0:
+        return False
+    return _pick_tn(H, W, C, N, itemsize) > 0
+
+
+def conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+            interpret: bool = False) -> jax.Array:
+    """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC, f32 accumulation."""
+    from jax.experimental import pallas as pl
+
+    B, H, W, C = x.shape
+    N = w.shape[-1]
+    tn = _pick_tn(H, W, C, N, x.dtype.itemsize)
+    assert tn > 0, "caller must gate on supports()"
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    with_bias = b is not None
+    if b is None:
+        b = jnp.zeros((N,), x.dtype)
+    kernel = functools.partial(_conv_kernel, H=H, W=W, with_bias=with_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, C), lambda bi, j: (bi, 0, 0, 0)),
+            pl.BlockSpec((3, 3, C, tn), lambda bi, j: (0, 0, 0, j)),
+            pl.BlockSpec((tn,), lambda bi, j: (j,)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, N), x.dtype),
+        interpret=interpret,
+    )(xp, w, b)
