@@ -47,6 +47,7 @@ def test_sd_kernel_supports_policy():
     assert not pa.supports((2, 8, 16384, 40), (2, 8, 16384, 40))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "shape",
     [(2, 8, 1024, 40), (1, 2, 1024, 64), (2, 4, 2048, 80), (1, 2, 1536, 128)],
@@ -67,6 +68,7 @@ def test_sd_kernel_matches_xla_interpret(shape):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("d", [64, 128])
 def test_flash_matches_xla_interpret(d):
     """Run the pallas kernel in interpret mode on CPU and compare to the XLA
@@ -83,6 +85,7 @@ def test_flash_matches_xla_interpret(d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(2, 1024, 8, 40), (1, 1536, 2, 128)])
 def test_sd_kernel_blhd_matches_xla_interpret(shape):
     """Head-minor (B, L, H, d) kernel entry: parity with the XLA path,

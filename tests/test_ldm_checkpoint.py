@@ -83,6 +83,7 @@ def test_text_encoder_passthrough():
     assert set(flat_new) == set(flat_orig)
 
 
+@pytest.mark.slow
 def test_single_file_safetensors(tmp_path):
     from safetensors.numpy import save_file
 

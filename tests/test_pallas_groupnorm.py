@@ -8,6 +8,10 @@ import pytest
 
 from sliders_tpu.ops import pallas_groupnorm as pg
 
+# the fused-GN kernel is an unrouted recorded experiment (BASELINE.md); its
+# interpret-mode compiles are heavy, so the whole module runs in the slow tier
+pytestmark = pytest.mark.slow
+
 
 def _ref(x, w, b, groups, eps, act_silu):
     B, L, C = x.shape

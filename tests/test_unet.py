@@ -59,6 +59,7 @@ def test_jit_matches_eager(tiny_setup):
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_matches(tiny_setup):
     cfg, params, x, ehs, t = tiny_setup
     base = unet2d.apply(params, cfg, x, t, ehs)
