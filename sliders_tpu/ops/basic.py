@@ -79,6 +79,25 @@ def _lora_scale(multiplier, alpha, rank: int, y: jax.Array) -> jax.Array:
     return scale.astype(y.dtype)
 
 
+_CONV_IMPL = "xla"
+
+
+def set_conv_impl(impl: str) -> None:
+    """'xla' (default): lax.conv everywhere. 'auto': route eligible 3x3
+    stride-1 convs to the Pallas kernel (ops/pallas_conv.routed).
+
+    Default is XLA by measured END-TO-END result (BASELINE.md round-3): the
+    kernel wins 1.2-1.5x per shape in isolation, but routing it into the
+    SD1.5 train step LOSES ~5.5% in every interleaved sample (e.g. 1.688 vs
+    1.602 steps/s) — the custom-call boundary breaks XLA's
+    conv+bias+SiLU/residual/GN-stat fusions, and the extra output
+    read-modify-write passes outweigh the MXU win. Kept as an opt-in
+    experiment; takes effect on the next trace."""
+    global _CONV_IMPL
+    assert impl in ("auto", "xla"), impl
+    _CONV_IMPL = impl
+
+
 def conv2d(
     p: dict,
     x: jax.Array,
@@ -96,15 +115,34 @@ def conv2d(
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     strides = (stride, stride)
+    w = p["weight"]
+    same_pad = padding == "SAME" or padding == [(1, 1), (1, 1)]
+    if (
+        _CONV_IMPL == "auto"
+        and stride == 1
+        and same_pad
+        and w.shape[:2] == (3, 3)
+        and jax.default_backend() == "tpu"
+    ):
+        from sliders_tpu.ops import pallas_conv as pcv
+
+        if pcv.routed(x.shape, w.shape, stride, x.dtype.itemsize):
+            bias = p["bias"].astype(x.dtype) if "bias" in p else jnp.zeros((w.shape[-1],), x.dtype)
+            y = pcv.conv3x3_vjp(x, w.astype(x.dtype), bias)
+            return _conv2d_lora_tail(p, x, y, strides, padding, lora, name)
     y = jax.lax.conv_general_dilated(
         x,
-        p["weight"].astype(x.dtype),
+        w.astype(x.dtype),
         window_strides=strides,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
+    return _conv2d_lora_tail(p, x, y, strides, padding, lora, name)
+
+
+def _conv2d_lora_tail(p, x, y, strides, padding, lora, name):
     entry = _lora_entry(lora, name)
     if entry is not None:
         down, up = entry["down"], entry["up"]

@@ -47,7 +47,7 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, H: int, W: int, with_bias: bool)
     tn = o_ref.shape[-1]
     acc = jnp.zeros((H * W, tn), jnp.float32)
     if with_bias:
-        acc = acc + b_ref[...].astype(jnp.float32)
+        acc = acc + b_ref[...].astype(jnp.float32)  # (1, tn) broadcasts over rows
     for dy in range(3):
         for dx in range(3):
             xs = x_ref[0, dy : dy + H, dx : dx + W, :].reshape(H * W, -1)
@@ -57,21 +57,29 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, *, H: int, W: int, with_bias: bool)
     o_ref[0] = acc.reshape(H, W, tn).astype(o_ref.dtype)
 
 
+def _n_pad(N: int) -> int:
+    return -(-N // LANES) * LANES
+
+
 def _pick_tn(H: int, W: int, C: int, N: int, itemsize: int) -> int:
-    """Largest N-tile that (a) divides N, (b) is lane-friendly, and (c) fits
-    the VMEM budget next to the whole padded image (double-buffered blocks)."""
+    """Largest lane-multiple N-tile dividing the lane-padded N that fits the
+    VMEM budget next to the whole padded image (double-buffered blocks).
+    Mosaic requires the block's last dim be a multiple of 128 (or the full
+    array dim), so N is zero-padded to 128 lanes outside the kernel."""
     x_bytes = 2 * itemsize * (H + 2) * (W + 2) * C
-    for tn in (N, N // 2, N // 4, N // 8, LANES):
-        if tn < LANES or N % tn != 0:
-            continue
-        need = (
-            x_bytes
-            + 2 * itemsize * 9 * C * tn  # weight tile, double-buffered
-            + 2 * itemsize * H * W * tn  # out tile, double-buffered
-            + 4 * H * W * tn  # f32 accumulator
-        )
-        if need <= VMEM_LIMIT:
-            return tn
+    np_ = _n_pad(N)
+    tn = np_
+    while tn >= LANES:
+        if np_ % tn == 0:
+            need = (
+                x_bytes
+                + 2 * itemsize * 9 * C * tn  # weight tile, double-buffered
+                + 2 * itemsize * H * W * tn  # out tile, double-buffered
+                + 4 * H * W * tn  # f32 accumulator
+            )
+            if need <= VMEM_LIMIT:
+                return tn
+        tn -= LANES
     return 0
 
 
@@ -98,20 +106,71 @@ def conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     N = w.shape[-1]
     tn = _pick_tn(H, W, C, N, x.dtype.itemsize)
     assert tn > 0, "caller must gate on supports()"
+    np_ = _n_pad(N)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     with_bias = b is not None
     if b is None:
         b = jnp.zeros((N,), x.dtype)
+    if np_ != N:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, np_ - N)))
+        b = jnp.pad(b, ((0, np_ - N),))
+    b2 = b.reshape(1, np_)  # rank-1 VMEM blocks need 256-multiples; rank-2 is (8,128)-tiled
     kernel = functools.partial(_conv_kernel, H=H, W=W, with_bias=with_bias)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B, N // tn),
+        grid=(B, np_ // tn),
         in_specs=[
             pl.BlockSpec((1, H + 2, W + 2, C), lambda bi, j: (bi, 0, 0, 0)),
             pl.BlockSpec((3, 3, C, tn), lambda bi, j: (0, 0, 0, j)),
-            pl.BlockSpec((tn,), lambda bi, j: (j,)),
+            pl.BlockSpec((1, tn), lambda bi, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, np_), x.dtype),
         interpret=interpret,
-    )(xp, w, b)
+    )(xp, w, b2)
+    return out if np_ == N else out[..., :N]
+
+
+# ---------------------------------------------------------------------------
+# routing + autodiff
+# ---------------------------------------------------------------------------
+
+def routed(x_shape, w_shape, stride: int = 1, itemsize: int = 2) -> bool:
+    """Routing policy = capability AND measured win (hardware A/B,
+    BASELINE.md round-3 differential timings): the kernel wins 1.2-1.5x on
+    every VMEM-fitting shape with H*W >= 256 (e.g. 0.142 vs 0.169 ms at
+    (2,64,64,320)x320, 0.327 vs 0.488 at (2,32,32,1280)x1280) but LOSES on
+    the weight-bandwidth-bound 8x8 bottleneck shapes (0.084 vs 0.063 ms at
+    (2,8,8,1280)x1280) — those stay with XLA."""
+    if not supports(x_shape, w_shape, stride, itemsize):
+        return False
+    return x_shape[1] * x_shape[2] >= 256
+
+
+@jax.custom_vjp
+def conv3x3_vjp(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """conv3x3 with an XLA-conv VJP: the backward of a stride-1 SAME conv is
+    two convs (dx: transposed-kernel conv; dw: x (*) g correlation) that XLA
+    already emits well, and in the LoRA-only train steps the frozen base
+    weights' dw is dead code XLA prunes — only dx survives."""
+    return conv3x3(x, w, b)
+
+
+def _conv3x3_vjp_fwd(x, w, b):
+    return conv3x3(x, w, b), (x, w)
+
+
+def _conv3x3_vjp_bwd(res, g):
+    x, w = res
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    _, vjp = jax.vjp(ref, x, w)
+    dx, dw = vjp(g)
+    return dx, dw, g.sum(axis=(0, 1, 2))
+
+
+conv3x3_vjp.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
