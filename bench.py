@@ -42,6 +42,26 @@ WARMUP = 2
 ITERS = 10
 
 
+SAMPLES = 3
+
+
+def best_sample(run_once, samples: int = SAMPLES) -> float:
+    """BASELINE.md round-2 timing rule: the FIRST post-warmup sample is
+    10-40x inflated (program reload through the tunnel) and host contention
+    pollutes individual samples, so every metric times >= SAMPLES chained
+    samples and reports the best. Round-2's single-sample protocol
+    under-reported (SDXL 1.067 single-sample vs 1.40 best-of-3, same
+    program, round-3)."""
+    import time as _time
+
+    best = float("inf")
+    for _ in range(samples):
+        t0 = _time.perf_counter()
+        run_once()
+        best = min(best, _time.perf_counter() - t0)
+    return best
+
+
 def steps_line(metric: str, steps_per_sec: float) -> str:
     """One self-describing JSON line for a train-step throughput metric."""
     projected = 1000.0 / steps_per_sec / 60.0
@@ -114,13 +134,14 @@ def main():
     _ = np.asarray(metrics["loss"])  # host fetch = true completion
 
     calls = 2
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, metrics = step(state, unet_params, pairs)
-    _ = np.asarray(metrics["loss"])  # last chunk's losses depend on all steps
-    dt = time.perf_counter() - t0
 
-    value = calls * chunk / dt
+    def run_once():
+        nonlocal state, metrics
+        for _ in range(calls):
+            state, metrics = step(state, unet_params, pairs)
+        _ = np.asarray(metrics["loss"])  # last chunk's losses depend on all steps
+
+    value = calls * chunk / best_sample(run_once)
     print(steps_line("sd15_text_slider_train_steps_per_sec_chip", value))
 
 
@@ -169,12 +190,13 @@ def main_flux():
     for _ in range(WARMUP):
         state, metrics = step(state, params, pairs)
     _ = np.asarray(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, params, pairs)
-    _ = np.asarray(metrics["loss"])
-    dt = time.perf_counter() - t0
-    value = ITERS / dt
+    def run_once():
+        nonlocal state, metrics
+        for _ in range(ITERS):
+            state, metrics = step(state, params, pairs)
+        _ = np.asarray(metrics["loss"])
+
+    value = ITERS / best_sample(run_once)
     print(steps_line("flux_mini_4x8_slider_train_steps_per_sec_chip", value))
 
 
@@ -228,12 +250,14 @@ def main_sdxl():
     state, metrics = step(state, unet_params, pairs)
     _ = np.asarray(metrics["loss"])
     calls = 2
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        state, metrics = step(state, unet_params, pairs)
-    _ = np.asarray(metrics["loss"])
-    dt = time.perf_counter() - t0
-    value = calls * chunk / dt
+
+    def run_once():
+        nonlocal state, metrics
+        for _ in range(calls):
+            state, metrics = step(state, unet_params, pairs)
+        _ = np.asarray(metrics["loss"])
+
+    value = calls * chunk / best_sample(run_once)
     print(steps_line("sdxl_text_slider_train_steps_per_sec_chip", value))
 
 
@@ -272,13 +296,16 @@ def main_sample():
     out = run(jax.random.key(4), lats)
     _ = np.asarray(out[0, 0, 0, 0])
     n = 5
-    t0 = time.perf_counter()
-    for i in range(n):
-        # chain: each run's input data-depends on the previous output so the
-        # final fetch proves ALL n runs completed (CLAUDE.md timing rule 1)
-        out = run(jax.random.key(5 + i), lats + out * 1e-6)
-    _ = np.asarray(out[0, 0, 0, 0])
-    dt = time.perf_counter() - t0
+
+    def run_once():
+        nonlocal out
+        for i in range(n):
+            # chain: each run's input data-depends on the previous output so
+            # the final fetch proves ALL n runs completed (CLAUDE.md rule 1)
+            out = run(jax.random.key(5 + i), lats + out * 1e-6)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    dt = best_sample(run_once)
     print(
         json.dumps(
             {
@@ -333,12 +360,15 @@ def main_turbo():
     out = run(jax.random.key(4), lats)
     _ = np.asarray(out[0, 0, 0, 0])
     n = 10
-    t0 = time.perf_counter()
-    for i in range(n):
-        # chained so the final fetch data-depends on all timed runs
-        out = run(jax.random.key(5 + i), lats + out * 1e-6)
-    _ = np.asarray(out[0, 0, 0, 0])
-    dt = time.perf_counter() - t0
+
+    def run_once():
+        nonlocal out
+        for i in range(n):
+            # chained so the final fetch data-depends on all timed runs
+            out = run(jax.random.key(5 + i), lats + out * 1e-6)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    dt = best_sample(run_once)
     print(
         json.dumps(
             {
@@ -403,12 +433,14 @@ def main_image():
     state, metrics = step(state, unet_params, vae_params, batch)
     _ = np.asarray(metrics["loss"])
     n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = step(state, unet_params, vae_params, batch)
-    _ = np.asarray(metrics["loss"])
-    dt = time.perf_counter() - t0
-    print(steps_line("sd15_image_slider_train_steps_per_sec_chip", n / dt))
+
+    def run_once():
+        nonlocal state, metrics
+        for _ in range(n):
+            state, metrics = step(state, unet_params, vae_params, batch)
+        _ = np.asarray(metrics["loss"])
+
+    print(steps_line("sd15_image_slider_train_steps_per_sec_chip", n / best_sample(run_once)))
 
 
 if __name__ == "__main__":

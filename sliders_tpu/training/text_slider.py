@@ -215,9 +215,12 @@ def make_text_slider_step(
             # via per-sample multiplier 0) + target (slider ON). The frozen
             # samples contribute exactly-zero LoRA grads (the LoRA branch is
             # mult*up(down(x))), so slicing the cotangent to the target rows
-            # reproduces the unfused grads; the A/B question is whether the
-            # batch-4 MXU-utilization gain beats paying the backward dx-chain
-            # for 4 samples instead of 1 (BASELINE.md round-3). ----
+            # reproduces the unfused grads. Measured NEGATIVE (BASELINE.md
+            # round-3): SD1.5 1.463 vs 1.679 steps/s, SDXL 1.281 vs 1.402 —
+            # the batch-4 backward pays the dx-chain for all four samples
+            # (XLA does not prune zero-cotangent rows), outweighing the
+            # forward batching gain. Kept off by default as a recorded,
+            # parity-tested experiment. ----
             ehs4 = jnp.concatenate(
                 [rep(pair[r]) for r in ("positive", "neutral", "unconditional", "target")]
             )
