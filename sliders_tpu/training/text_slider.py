@@ -113,6 +113,18 @@ def make_text_slider_step(
         batch_sharding = NamedSharding(mesh, P("dp"))
 
     def constrain_batch(x):
+        """Shard a (rows, ...) tensor's leading dim over the dp mesh axis.
+
+        Applied to the per-iteration latents AND to every internal fan-out
+        batch: the CFG-doubled denoise input (2B rows) and the frozen
+        positive/neutral/unconditional pass (3B rows). The reference
+        protocol is batch_size=1, so plain batch-dp cannot use a mesh —
+        but the fan-outs are embarrassingly parallel (SURVEY.md §5.8), and
+        sharding their row axis lets a (dp>=2, tp) mesh split the dominant
+        denoise-loop UNet call across chips. The per-iteration gather of
+        the CFG halves is one ~32 KB latent over ICI — negligible against
+        the ~10 ms UNet call it parallelizes. Parity vs the unsharded step
+        is pinned by tests/test_parallel.py and the driver dryrun."""
         if mesh is not None:
             return jax.lax.with_sharding_constraint(x, batch_sharding)
         return x
@@ -189,7 +201,7 @@ def make_text_slider_step(
 
         def denoise_body(i, carry):
             x, s_state = carry
-            x_in = jnp.concatenate([x, x])
+            x_in = constrain_batch(jnp.concatenate([x, x]))
             x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
             eps = unet_fn(
                 denoise_params, x_in, sampler.timesteps[i], ehs_cfg, added_cfg, lora=lora_on
@@ -227,7 +239,7 @@ def make_text_slider_step(
             added4 = added_concat(
                 *[added_from(pair, r) for r in ("positive", "neutral", "unconditional", "target")]
             ) if is_xl else None
-            x4 = jnp.tile(x_scaled, (4, 1, 1, 1))
+            x4 = constrain_batch(jnp.tile(x_scaled, (4, 1, 1, 1)))
             mult4 = jnp.concatenate(
                 [jnp.zeros(3 * batch_size), jnp.ones(batch_size)]
             )
@@ -257,7 +269,7 @@ def make_text_slider_step(
                 added_from(pair, "neutral"),
                 added_from(pair, "unconditional"),
             )
-            x3 = jnp.tile(x_scaled, (3, 1, 1, 1))
+            x3 = constrain_batch(jnp.tile(x_scaled, (3, 1, 1, 1)))
             frozen = unet_fn(unet_params, x3, t_cur, ehs3, added3)  # slider OFF
             eps_pos, eps_neu, eps_unc = jnp.split(
                 jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0

@@ -155,6 +155,24 @@ def test_dp_train_step_matches_single_device():
     )
 
 
+def test_fanout_dp_batch1_matches_single_device():
+    """Reference-protocol batch_size=1: plain batch-dp cannot use a mesh,
+    but the train step's internal fan-outs (CFG-doubled denoise rows, the
+    batched frozen positive/neutral/unconditional pass) are row-sharded
+    over dp (text_slider.constrain_batch). On a (dp=2, tp=4) mesh this is
+    the v5e-8 layout for the batch-1 north-star run; numerics must match
+    the unsharded step exactly."""
+    params, step1, state1, pairs = _tiny_text_slider_fixtures(None, 1)
+    mesh = pmesh.make_mesh(dp=2, tp=4)
+    _, stepf, statef, _ = _tiny_text_slider_fixtures(mesh, 1)
+    sharded = pmesh.shard_params(mesh, params, tp_enabled=True)
+
+    new1, m1 = step1(state1, params, pairs)
+    newf, mf = stepf(statef, sharded, pairs)
+    np.testing.assert_allclose(float(mf["loss"]), float(m1["loss"]), rtol=1e-5)
+    _assert_tree_allclose(newf.lora, new1.lora, 1e-6, "fanout-dp LoRA update != single-device")
+
+
 def test_tp_train_step_matches_replicated():
     """tp=2 sharded UNet params through the FULL train step (fwd+bwd+update)
     == replicated params. VERDICT r2 item 3b."""
