@@ -50,7 +50,11 @@ def infer_params_from_name(model_path: str) -> dict:
     # 'last' (hspace-last) fragment, which lives in the method name
     base = re.sub(r"_(last|\d+steps)$", "", base)
     fragments = ("xattn", "hspace", "last", "full", "selfattn")
-    n = parent if any(f in parent for f in fragments) else base
+    # our save convention mangles `_alpha{a}_rank{r}_{method}` into the FILE
+    # name, the reference's into the parent dir — prefer whichever actually
+    # carries method fragments, basename first (an unrelated parent dir that
+    # happens to contain e.g. 'full' must not override the file's own tokens)
+    n = base if any(f in base for f in fragments) else parent
 
     # exact method token first (our mangled basenames / explicit run names)
     out = {"rank": 4, "alpha": 1.0, "scales": list(DEFAULT_SCALES)}

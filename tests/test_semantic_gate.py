@@ -1,0 +1,304 @@
+"""Semantic acceptance gates (VERDICT r2 item 2).
+
+1. "The slider actually slides": train a tiny image slider on synthetic
+   paired images whose only difference is a computable attribute
+   (brightness), then assert the decoded samples are MONOTONE in the slider
+   scale over [-2, 2] — and that a wrong-sign LoRA update reverses the
+   ordering (i.e. would fail this gate). This is the hermetic stand-in for
+   the reference's CLIP-score-vs-scale acceptance curve
+   (eval-scripts/clip_score.py:53-69).
+
+2. The FULL eval pipeline end-to-end at the CLI level:
+   cli/generate_images -> cli/clip_score -> cli/lpips_score, producing the
+   reference's clip_scores.csv / lpips_score.csv on tiny models
+   (lpip_score.py:53-76 protocol: every scale folder scored against the
+   scale-0 folder).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import make_tiny_clip_snapshot, make_tiny_snapshot
+
+pytestmark = pytest.mark.slow
+
+
+def _brightness_sweep(fn, unet_params, vae_params, vae_cfg, lora_weights, emb,
+                      uncond, lats, scales):
+    from sliders_tpu.pipelines import text2image as t2i
+
+    vals = []
+    for s in scales:
+        out = fn(
+            unet_params, lats, emb, uncond, lora_weights,
+            jnp.asarray(float(s)), jnp.asarray(1000.0), jnp.asarray(1.0),
+            jax.random.key(5),
+        )
+        img = t2i.decode_images(vae_params, vae_cfg, out)
+        vals.append(float(np.asarray(img, np.float32).mean()))
+    return vals
+
+
+def test_image_slider_slides_monotone():
+    """Brightness slider: +scale must brighten, -scale must darken, strictly
+    monotone across [-2,-1,0,1,2]; negating the learned LoRA direction (a
+    wrong-sign update) must reverse the ordering and fail the same gate."""
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d, vae
+    from sliders_tpu.pipelines import text2image as t2i
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.image_slider import make_image_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState
+
+    import optax
+
+    cfg = unet2d.TINY
+    vae_cfg = vae.TINY
+    unet_params = unet2d.init_params(jax.random.key(0), cfg)
+    vae_params = vae.init_params(jax.random.key(1), vae_cfg)
+
+    # Pre-train the tiny VAE as an actual autoencoder on the synthetic image
+    # distribution: at random init decode() is NOT an inverse of encode(), so
+    # "decoded mean brightness" would be an arbitrary function of the latent
+    # direction the LoRA learns. The reference operates on a *real* VAE where
+    # the round trip holds; ~200 MSE steps restores that property for the gate.
+    ae_opt = optax.adam(2e-3)
+
+    @jax.jit
+    def ae_step(vp, ost, imgs):
+        def loss_fn(vp):
+            mean, _ = vae.encode(vp, vae_cfg, imgs)
+            rec = vae.decode(vp, vae_cfg, mean)
+            return jnp.mean((rec - imgs) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(vp)
+        updates, ost = ae_opt.update(grads, ost)
+        return optax.apply_updates(vp, updates), ost, loss
+
+    ae_rng = np.random.default_rng(7)
+    ost = ae_opt.init(vae_params)
+    ae_l0 = ae_l = None
+    for i in range(200):
+        base = ae_rng.normal(0.0, 0.25, (8, 64, 64, 3)).astype(np.float32)
+        shift = ae_rng.uniform(-0.5, 0.5, (8, 1, 1, 1)).astype(np.float32)
+        vae_params, ost, l = ae_step(vae_params, ost, jnp.asarray(np.clip(base + shift, -1, 1)))
+        if i == 0:
+            ae_l0 = float(l)
+        ae_l = float(l)
+    assert ae_l < 0.25 * ae_l0, f"VAE autoencoder pretrain did not converge: {ae_l0} -> {ae_l}"
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=5)
+
+    # Pre-train the tiny UNet as a denoiser of the NEUTRAL-brightness
+    # distribution only. Two reasons (probe-validated, round 3): (a) samples
+    # from a random UNet are far off the VAE's data manifold, so their decode
+    # is arbitrary; (b) if the base model already explains the FULL
+    # brightness range, the paired supervision is uninformative and the
+    # slider learns a tiny, sign-confused direction (V-shaped sweep). The
+    # reference's real regime is exactly this: a pretrained base model, and
+    # a slider pushing OFF its modal manifold.
+    den_opt = optax.adam(1e-3)
+
+    @jax.jit
+    def den_step(up, ost, imgs, key):
+        k_post, k_t, k_noise = jax.random.split(key, 3)
+        mean, logvar = vae.encode(vae_params, vae_cfg, imgs)
+        lat = vae.normalize_latents(vae_cfg, vae.sample_latents(mean, logvar, k_post))
+        t = jax.random.randint(k_t, (), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(k_noise, lat.shape, lat.dtype)
+        noisy = schedule.add_noise(lat, noise, jnp.broadcast_to(t, (lat.shape[0],)))
+        ehs = jnp.broadcast_to(emb, (lat.shape[0],) + emb.shape)
+
+        def loss_fn(up):
+            eps = unet2d.apply(up, cfg, noisy, t, ehs)
+            return jnp.mean((eps - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(up)
+        updates, ost = den_opt.update(grads, ost)
+        return optax.apply_updates(up, updates), ost, loss
+
+    emb = jax.random.normal(jax.random.key(4), (7, cfg.cross_attention_dim))
+    ost = den_opt.init(unet_params)
+    for i in range(600):
+        base = ae_rng.normal(0.0, 0.25, (8, 64, 64, 3)).astype(np.float32)
+        nshift = ae_rng.normal(0.0, 0.05, (8, 1, 1, 1)).astype(np.float32)
+        unet_params, ost, den_l = den_step(
+            unet_params, ost, jnp.asarray(np.clip(base + nshift, -1, 1)),
+            jax.random.key(1000 + i),
+        )
+    assert float(den_l) < 0.5, f"denoiser pretrain did not converge: {float(den_l)}"
+
+    lora = lnet.create_slider_network(
+        jax.random.key(2), unet_params, rank=4, train_method="noxattn",
+        init_a=5**0.5,
+    )
+    optimizer = opt_factory.make_optimizer(
+        "adamw", opt_factory.make_lr_schedule("constant", 1e-2, 2000),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    step = make_image_slider_step(
+        cfg, vae_cfg, schedule, sampler, optimizer,
+        max_denoising_steps=5, compute_dtype=jnp.float32, remat=False,
+        donate=False,
+    )
+    state = SliderTrainState.create(jax.random.key(3), lora, optimizer)
+
+    # reference image-slider protocol: ALL prompts empty, guidance 1
+    # (imagesliders/data/prompts.yaml — "let the model figure out the edit"),
+    # so positive == neutral == unconditional; the slider direction lives
+    # entirely in the LoRA multiplier, and inference conditioning matches
+    # training at every sign of the scale.
+    emb_pos = emb_neu = emb_unc = emb
+
+    # reference multi-folder protocol (train_lora-scale.py:211-213): each iter
+    # picks s=abs(choice(scales)) and pairs folders at -s/+s; here the paired
+    # "folders" are synthetic brightness offsets proportional to s, so the LoRA
+    # sees the attribute at BOTH |s|=1 and |s|=2 and learns a linear direction
+    # (training only at s=1 left the -2 extrapolation non-monotone). 200 steps
+    # of 4-pair batches at lr 1e-2 sit in the middle of the probe-measured
+    # stable window (monotone at 100-300 steps; overtraining past ~400 blows
+    # up the -2 extrapolation).
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(200):
+        s = float(rng.choice((1.0, 2.0)))
+        base = rng.normal(0.0, 0.25, (4, 64, 64, 3)).astype(np.float32)
+        batch = {
+            "images_high": jnp.asarray(np.clip(base + 0.3 * s, -1, 1)),
+            "images_low": jnp.asarray(np.clip(base - 0.3 * s, -1, 1)),
+            "scale": jnp.asarray(s),
+            "positive": emb_pos,
+            "neutral": emb_neu,
+            "unconditional": emb_unc,
+        }
+        state, metrics = step(state, unet_params, vae_params, batch)
+        losses.append(float(metrics["loss"]))
+    # No loss-decrease assertion here: the per-step loss clusters by the
+    # sampled denoise timestep (probe-measured bands ~0.13 vs ~0.59), so
+    # short-window means compare timestep mixes, not training progress — a
+    # 30-step window check flaked exactly this way. The REAL acceptance
+    # gates follow: the decoded sweep must be monotone in scale, and the
+    # wrong-sign network must fail the identical check.
+
+    # sample at the training latent resolution (the tiny VAE downsamples 2x:
+    # 64px images -> 32x32 latents; initial_latents divides by 8)
+    fn = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.float32)
+    lats = t2i.initial_latents(jax.random.key(6), 8, 256, 256, sampler.init_noise_sigma)
+    emb = jnp.tile(emb_pos[None], (8, 1, 1))
+    unc = jnp.tile(emb_unc[None], (8, 1, 1))
+    scales = (-2.0, -1.0, 0.0, 1.0, 2.0)
+    vals = _brightness_sweep(
+        fn, unet_params, vae_params, vae_cfg, state.lora, emb, unc, lats, scales
+    )
+    diffs = np.diff(vals)
+    assert (diffs > 0).all(), f"brightness not monotone in scale: {vals}"
+
+    # wrong-sign gate: negate the learned up-projections (== a wrong-sign
+    # LoRA update); the identical acceptance check must now FAIL
+    neg_lora = {
+        name: {**entry, "up": -entry["up"]} for name, entry in state.lora.items()
+    }
+    neg_vals = _brightness_sweep(
+        fn, unet_params, vae_params, vae_cfg, neg_lora, emb, unc, lats, scales
+    )
+    neg_diffs = np.diff(neg_vals)
+    assert not (neg_diffs > 0).all(), f"wrong-sign slider passed the gate: {neg_vals}"
+    assert (neg_diffs < 0).all(), f"wrong-sign slider should darken with scale: {neg_vals}"
+
+
+def test_full_eval_pipeline_cli_e2e(tmp_path):
+    """generate_images -> clip_score -> lpips_score, all at the CLI level,
+    on tiny hermetic snapshots — the reference's acceptance protocol
+    (generate then score per scale) with its exact artifact layout."""
+    import pandas as pd
+    import torch
+
+    from sliders_tpu.cli import clip_score as clip_cli
+    from sliders_tpu.cli import generate_images as gen_cli
+    from sliders_tpu.cli import lpips_score as lpips_cli
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+
+    snapshot = make_tiny_snapshot(str(tmp_path / "sd_tiny"))
+    clip_snap = make_tiny_clip_snapshot(str(tmp_path / "clip_tiny"))
+
+    # a slider checkpoint (random weights suffice: the pipeline contract is
+    # layout + CSV production; semantics are gated by the monotone test).
+    # create_slider_network zero-inits the UP projections (reference
+    # convention, lora.py:97-98), which makes a fresh network a no-op at
+    # every scale — randomize them so the scale folders actually differ
+    # (LPIPS > 0 is asserted below).
+    m = loader.load_sd(snapshot, dtype=jnp.float32)
+    lora = lnet.create_slider_network(
+        jax.random.key(0), m.unet_params, rank=2, train_method="noxattn"
+    )
+    lora = {
+        name: {
+            **e,
+            "up": 0.2 * jax.random.normal(jax.random.key(i), e["up"].shape, e["up"].dtype),
+        }
+        for i, (name, e) in enumerate(lora.items())
+    }
+    ckpt = tmp_path / "bright_alpha1.0_rank2_noxattn_last.safetensors"
+    lora_io.save_slider(str(ckpt), lora)
+
+    csv = tmp_path / "prompts.csv"
+    csv.write_text("case_number,prompt,evaluation_seed\n0,a car,42\n3,sun,3\n")
+
+    out = tmp_path / "images"
+    gen_args = gen_cli.build_parser().parse_args(
+        [
+            "--model_name", str(ckpt), "--prompts_path", str(csv),
+            "--base", snapshot, "--save_path", str(out),
+            "--image_size", "64", "--ddim_steps", "3", "--num_samples", "2",
+            "--scales=-1,0,1", "--precision", "float32",
+        ]
+    )
+    gen_cli.main(gen_args)
+    run_dir = out / os.path.basename(str(ckpt)).replace(".safetensors", "")
+    assert (run_dir / "-1" / "0_0.png").exists()
+
+    # CLIP score CLI: per-scale columns written to clip_scores.csv
+    clip_args = clip_cli.build_parser().parse_args(
+        [
+            "--im_path", str(run_dir), "--prompt", "a car",
+            "--prompts_path", str(csv), "--clip_model", clip_snap,
+        ]
+    )
+    clip_cli.main(clip_args)
+    cdf = pd.read_csv(run_dir / "clip_scores.csv")
+    assert {"clip_-1", "clip_0", "clip_1"} <= set(cdf.columns)
+    assert cdf["clip_0"].notna().all()
+
+    # LPIPS CLI over synthesized torch checkpoints (real architecture)
+    alex = {}
+    conv_shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3), (256, 256, 3)]
+    for idx, (o, i, k) in zip((0, 3, 6, 8, 10), conv_shapes):
+        alex[f"features.{idx}.weight"] = torch.randn(o, i, k, k) * (i * k * k) ** -0.5
+        alex[f"features.{idx}.bias"] = torch.zeros(o)
+    lins = {
+        f"lin{j}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+        for j, c in enumerate((64, 192, 384, 256, 256))
+    }
+    torch.save(alex, tmp_path / "alexnet.pth")
+    torch.save(lins, tmp_path / "lpips_alex.pth")
+    lp_args = lpips_cli.build_parser().parse_args(
+        [
+            "--im_path", str(run_dir), "--prompts_path", str(csv),
+            "--true", "0",
+            "--alexnet_weights", str(tmp_path / "alexnet.pth"),
+            "--lpips_weights", str(tmp_path / "lpips_alex.pth"),
+        ]
+    )
+    lpips_cli.main(lp_args)
+    ldf = pd.read_csv(run_dir / "lpips_score.csv")
+    assert {"lpips_-1", "lpips_1"} <= set(ldf.columns)
+    # scale folders differ from scale 0 -> strictly positive distances
+    assert (ldf["lpips_-1"].dropna() > 0).all()
+    assert (ldf["lpips_1"].dropna() > 0).all()
