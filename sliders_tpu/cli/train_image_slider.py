@@ -79,21 +79,27 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
         trainable_mask=lnet.trainable_mask(lora),
     )
     compute_dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
-    if config.tpu.steps_per_call > 1:
-        # the reference resamples the paired-image batch EVERY iteration
-        # (train_lora-scale.py:211-220); a chunked scan would freeze one
-        # pair for N steps, so the knob is not honored here
-        print("steps_per_call > 1 is not supported by the image-slider "
-              "trainer (per-iteration image resampling); using 1")
-    step = make_image_slider_step(
-        models.unet_config, models.vae_config, schedule, sampler, optimizer,
-        max_denoising_steps=config.train.max_denoising_steps,
-        compute_dtype=compute_dtype,
-        remat=config.tpu.remat,
-        is_xl=models.is_xl,
-        mesh=mesh,
-        donate=config.tpu.donate,
-    )
+    # dispatch-amortization (tpu.steps_per_call): the chunked step scans over
+    # a STACKED (chunk,)-leading batch of per-iteration image pairs, so the
+    # reference's per-iteration resampling (train_lora-scale.py:211-220) is
+    # preserved; prompt embeddings transfer once per dispatch
+    chunk_cfg = max(1, config.tpu.steps_per_call)
+    steps_cache: dict = {}
+
+    def get_step(chunk):
+        if chunk not in steps_cache:
+            steps_cache[chunk] = make_image_slider_step(
+                models.unet_config, models.vae_config, schedule, sampler, optimizer,
+                max_denoising_steps=config.train.max_denoising_steps,
+                compute_dtype=compute_dtype,
+                remat=config.tpu.remat,
+                is_xl=models.is_xl,
+                mesh=mesh,
+                donate=config.tpu.donate,
+                chunk=chunk,
+            )
+        return steps_cache[chunk]
+
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
 
     def emb(prompt):
@@ -120,23 +126,60 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
     save_dir.mkdir(parents=True, exist_ok=True)
     ext = ".safetensors" if config.save.format == "safetensors" else ".pt"
 
-    for i in range(config.train.iterations):
-        s, lo, hi = dataset.sample_pair(host_rng, resolution)
-        batch = dict(
-            batch_static,
-            images_low=jnp.asarray(lo)[None],
-            images_high=jnp.asarray(hi)[None],
-            scale=jnp.asarray(s, jnp.float32),
-        )
-        state, metrics = step(state, models.unet_params, models.vae_params, batch)
-        if i % config.logging.log_every == 0:
-            print(f"step {i}: loss*1k={float(metrics['loss']) * 1000:.4f} scale={s}")
-        if i % config.save.per_steps == 0 and i != 0 and i != config.train.iterations - 1:
-            print("Saving...")
-            lora_io.save_slider(
-                str(save_dir / f"{config.save.name}_{i}steps{ext}"),
-                jax.device_get(state.lora),
+    def to_u8(a):
+        # images come from uint8 sources; ship them uint8 and normalize on
+        # device (4x less traffic through the tunnel, image_slider.py)
+        return np.clip((np.asarray(a, np.float32) + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+
+    i = 0
+    while i < config.train.iterations:
+        n = min(chunk_cfg, config.train.iterations - i)
+        # align chunk ends to the save cadence so each periodic artifact
+        # holds exactly the weights of its labeled step
+        if config.save.per_steps and config.save.per_steps > 0:
+            boundary = max(
+                ((i + config.save.per_steps - 1) // config.save.per_steps)
+                * config.save.per_steps,
+                config.save.per_steps,
             )
+            n = min(n, boundary - i + 1)
+        samples = [dataset.sample_pair(host_rng, resolution) for _ in range(n)]
+        if n == 1:
+            s, lo, hi = samples[0]
+            batch = dict(
+                batch_static,
+                images_low=to_u8(lo)[None],
+                images_high=to_u8(hi)[None],
+                scale=jnp.asarray(s, jnp.float32),
+            )
+        else:
+            batch = dict(
+                batch_static,
+                images_low=np.stack([to_u8(lo)[None] for _, lo, _ in samples]),
+                images_high=np.stack([to_u8(hi)[None] for _, _, hi in samples]),
+                scale=jnp.asarray([s for s, _, _ in samples], jnp.float32),
+            )
+        step = get_step(n)
+        state, metrics = step(state, models.unet_params, models.vae_params, batch)
+        per_step = (
+            [jax.tree.map(lambda a, j=j: a[j], metrics) for j in range(n)]
+            if n > 1
+            else [metrics]
+        )
+        for j, m in enumerate(per_step):
+            sj = i + j
+            if sj % config.logging.log_every == 0:
+                print(
+                    f"step {sj}: loss*1k={float(m['loss']) * 1000:.4f} "
+                    f"scale={float(m['scale'])}"
+                )
+            if sj % config.save.per_steps == 0 and sj != 0 and sj != config.train.iterations - 1 and j == n - 1:
+                print("Saving...")
+                lora_io.save_slider(
+                    str(save_dir / f"{config.save.name}_{sj}steps{ext}"),
+                    jax.device_get(state.lora),
+                )
+        i += n
     print("Saving...")
     lora_io.save_slider(
         str(save_dir / f"{config.save.name}_last{ext}"), jax.device_get(state.lora)

@@ -58,13 +58,19 @@ def make_image_slider_step(
     """step(state, unet_params, vae_params, batch) -> (new_state, metrics).
 
     `chunk > 1` scans N iterations per dispatch (see
-    text_slider.make_text_slider_step); metrics come back stacked. NOTE the
-    image-slider batch is fixed per call, so all chunked iterations see the
-    same image pair (the reference resamples the folder per iteration) —
-    only use chunk > 1 with a single training pair.
+    text_slider.make_text_slider_step); metrics come back stacked. The
+    per-iteration leaves (images_low/images_high/scale — the reference
+    resamples the folder pair every iteration, train_lora-scale.py:211-220)
+    must then carry a leading (chunk,) axis and are scanned over; the
+    prompt-embedding leaves stay unstacked and are transferred ONCE per
+    dispatch. This keeps chunked dispatch protocol-honest AND amortizes the
+    ~25 ms/dispatch tunnel overhead that dominates this 30 ms step.
 
     batch:
-      images_low / images_high: (B, H, W, 3) in [-1, 1]
+      images_low / images_high: (B, H, W, 3) float in [-1, 1], or uint8
+        [0, 255] (normalized on DEVICE — 4x less host->device traffic
+        through the tunnel; uint8 quantization is the reference's own
+        regime, PIL resize output feeding VaeImageProcessor)
       scale: () — the iteration's slider scale s (>0)
       positive / neutral / unconditional: (L, D) prompt embeddings
       [+ pooled_* / time_ids for XL]
@@ -98,11 +104,10 @@ def make_image_slider_step(
         # VAE-encode both sides in one batch-2B call; posterior noise is
         # independent per image, the ADDED noise is shared within a pair
         # (reference re-seeds only randn_tensor, train_lora-scale.py:222-246)
-        imgs = constrain_batch(
-            jnp.concatenate(
-                [batch["images_high"], batch["images_low"]]
-            ).astype(jnp.float32)
-        )
+        imgs = jnp.concatenate([batch["images_high"], batch["images_low"]])
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 127.5 - 1.0
+        imgs = constrain_batch(imgs.astype(jnp.float32))
         mean, logvar = vae.encode(vae_params, vae_cfg, imgs)
         lat = vae.normalize_latents(vae_cfg, vae.sample_latents(mean, logvar, k_post))
 
@@ -155,10 +160,15 @@ def make_image_slider_step(
     if chunk == 1:
         return jax.jit(step_fn, donate_argnums=donate_argnums)
 
-    def multi_fn(state, unet_params, vae_params, batch):
-        def body(s, _):
-            return step_fn(s, unet_params, vae_params, batch)
+    SCANNED = ("images_high", "images_low", "scale")
 
-        return jax.lax.scan(body, state, None, length=chunk)
+    def multi_fn(state, unet_params, vae_params, batch):
+        xs = {k: batch[k] for k in SCANNED}
+        static = {k: v for k, v in batch.items() if k not in SCANNED}
+
+        def body(s, x):
+            return step_fn(s, unet_params, vae_params, {**static, **x})
+
+        return jax.lax.scan(body, state, xs, length=chunk)
 
     return jax.jit(multi_fn, donate_argnums=donate_argnums)

@@ -10,7 +10,7 @@ from helpers import make_tiny_snapshot
 pytestmark = pytest.mark.slow
 
 
-def test_train_image_slider_cli(tmp_path):
+def _setup(tmp_path, steps_per_call=1, iterations=3):
     from PIL import Image
 
     snap = make_tiny_snapshot(str(tmp_path / "snap"))
@@ -40,7 +40,7 @@ network:
   training_method: noxattn
 train:
   precision: float32
-  iterations: 3
+  iterations: {iterations}
   lr: 0.001
   max_denoising_steps: 5
 save:
@@ -50,12 +50,13 @@ save:
 tpu:
   remat: false
   donate: false
+  steps_per_call: {steps_per_call}
 """
     )
 
-    from sliders_tpu.cli.train_image_slider import build_parser, main
+    from sliders_tpu.cli.train_image_slider import build_parser
 
-    args = build_parser().parse_args(
+    return build_parser().parse_args(
         [
             "--config_file", str(cfg),
             "--folder_main", str(data),
@@ -64,8 +65,33 @@ tpu:
             "--resolution", "48",
         ]
     )
-    main(args)
 
+
+def test_train_image_slider_cli(tmp_path):
+    from sliders_tpu.cli.train_image_slider import main
+
+    main(_setup(tmp_path))
     out = tmp_path / "out" / "eyesize_alpha1.0_rank2_noxattn"
     files = os.listdir(out)
     assert any(f.endswith("_last.safetensors") for f in files), files
+
+
+def test_train_image_slider_cli_chunked_matches_unchunked(tmp_path):
+    """tpu.steps_per_call scans stacked per-iteration batches — the SAME
+    image pairs in the same order as the unchunked run (host_rng draws are
+    call-for-call identical), so the final weights must match."""
+    from safetensors.numpy import load_file
+
+    from sliders_tpu.cli.train_image_slider import main
+
+    main(_setup(tmp_path / "c1", steps_per_call=1, iterations=5))
+    main(_setup(tmp_path / "c3", steps_per_call=3, iterations=5))
+    w1 = load_file(
+        tmp_path / "c1" / "out" / "eyesize_alpha1.0_rank2_noxattn" / "eyesize_alpha1.0_rank2_noxattn_last.safetensors"
+    )
+    w3 = load_file(
+        tmp_path / "c3" / "out" / "eyesize_alpha1.0_rank2_noxattn" / "eyesize_alpha1.0_rank2_noxattn_last.safetensors"
+    )
+    assert set(w1) == set(w3)
+    for k in w1:
+        np.testing.assert_allclose(w3[k], w1[k], atol=1e-5, err_msg=k)
