@@ -174,9 +174,13 @@ def main_flux():
         trainable_mask=mask,
     )
     sampler = make_flowmatch_sampler(num_steps=4, image_seq_len=1024)
+    # chunked dispatch like the SD benches: ~25 ms tunnel overhead on a
+    # ~290 ms step; pair/t sampling folds per step inside the scan
+    chunk = 5
     step = make_flux_slider_step(
         cfg, sampler, optimizer, resolution=512, batch_size=1,
         compute_dtype=jnp.bfloat16, remat=False, donate=True, trainable_mask=mask,
+        chunk=chunk,
     )
     ks = jax.random.split(jax.random.key(3), 8)
     pair = {}
@@ -191,16 +195,17 @@ def main_flux():
     pairs = stack_prompt_pairs([pair])
     state = SliderTrainState.create(jax.random.key(2), lora, optimizer)
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, params, pairs)
+    state, metrics = step(state, params, pairs)
     _ = np.asarray(metrics["loss"])
+    calls = 2
+
     def run_once():
         nonlocal state, metrics
-        for _ in range(ITERS):
+        for _ in range(calls):
             state, metrics = step(state, params, pairs)
         _ = np.asarray(metrics["loss"])
 
-    value = ITERS / best_sample(run_once)
+    value = calls * chunk / best_sample(run_once, samples=5)
     print(steps_line("flux_mini_4x8_slider_train_steps_per_sec_chip", value))
 
 
@@ -391,6 +396,73 @@ def main_turbo():
     )
 
 
+def main_xl1024():
+    """Secondary metric: SDXL 50-step CFG denoise latency at the reference's
+    native 1024px eval resolution (generate_images_xl.py protocol: 50 steps,
+    CFG ~7.5, batch 1, slider on) — the BASELINE.md target-table row that
+    was still TBD."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.pipelines import text2image as t2i
+
+    cfg = unet2d.SDXL
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    lora = lnet.create_slider_network(
+        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    fn = t2i.make_sampling_fn(
+        cfg, sampler, use_cfg=True, guidance_rescale=0.7,
+        compute_dtype=jnp.bfloat16, is_xl=True,
+    )
+    ks = jax.random.split(jax.random.key(2), 3)
+    cond = jax.random.normal(ks[0], (1, 77, 2048), jnp.bfloat16)
+    uncond = jax.random.normal(ks[1], (1, 77, 2048), jnp.bfloat16)
+    pooled = jax.random.normal(ks[2], (1, 1280), jnp.bfloat16)
+    tid = jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32)
+    added = {
+        "text_embeds": pooled, "time_ids": tid,
+        "uncond_text_embeds": pooled, "uncond_time_ids": tid,
+    }
+    lats = t2i.initial_latents(jax.random.key(3), 1, 1024, 1024, sampler.init_noise_sigma)
+
+    def run(key, latents):
+        return fn(
+            unet_params, latents, cond, uncond, lora,
+            jnp.asarray(1.0), jnp.asarray(750.0), jnp.asarray(7.5), key,
+            added,
+        )
+
+    out = run(jax.random.key(4), lats)
+    _ = np.asarray(out[0, 0, 0, 0])
+    n = 2
+
+    def run_once():
+        nonlocal out
+        for i in range(n):
+            # chained so the final fetch data-depends on all timed runs
+            out = run(jax.random.key(5 + i), lats + out * 1e-6)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    dt = best_sample(run_once)
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_1024px_50step_denoise_latency",
+                "value": round(dt / n * 1000, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main_image():
     """Secondary metric: SD1.5 image-slider train step at the reference
     protocol (train_lora-scale.py: 256px for SD1, batch 1 pair, fused ±s
@@ -471,5 +543,7 @@ if __name__ == "__main__":
         main_turbo()
     elif "--model" in sys.argv and "image" in sys.argv:
         main_image()
+    elif "--model" in sys.argv and "xl1024" in sys.argv:
+        main_xl1024()
     else:
         main()
