@@ -49,12 +49,24 @@ def infer_params_from_name(model_path: str) -> dict:
     # (lora/io.py) — strip those so they don't false-trigger the reference's
     # 'last' (hspace-last) fragment, which lives in the method name
     base = re.sub(r"_(last|\d+steps)$", "", base)
-    fragments = ("xattn", "hspace", "last", "full", "selfattn")
+    def method_tokens(s: str) -> set:
+        # underscore-delimited tokens plus their hyphen-split parts, so a
+        # run name like 'ballast' or 'fullface' never false-matches a
+        # fragment by substring
+        toks = set()
+        for t in s.split("_"):
+            toks.add(t)
+            toks.update(t.split("-"))
+        return toks
+
+    fragments = {"xattn", "noxattn", "hspace", "last", "full", "selfattn",
+                 "innoxattn", "xattn-strict"}
+    base_toks, parent_toks = method_tokens(base), method_tokens(parent)
     # our save convention mangles `_alpha{a}_rank{r}_{method}` into the FILE
     # name, the reference's into the parent dir — prefer whichever actually
     # carries method fragments, basename first (an unrelated parent dir that
     # happens to contain e.g. 'full' must not override the file's own tokens)
-    n = base if any(f in base for f in fragments) else parent
+    toks = base_toks if base_toks & fragments else parent_toks
 
     # exact method token first (our mangled basenames / explicit run names)
     out = {"rank": 4, "alpha": 1.0, "scales": list(DEFAULT_SCALES)}
@@ -63,22 +75,19 @@ def infer_params_from_name(model_path: str) -> dict:
         "noxattn-hspace-last", "noxattn-hspace", "xattn-strict", "innoxattn",
         "noxattn", "selfattn", "xattn", "full",
     ):
-        if m in n.replace("_", "-") and m in ("noxattn-hspace-last", "noxattn-hspace"):
-            method = m
-            break
-        if f"_{m}" in n or n == m:
+        if m in toks:
             method = m
             break
     if method is None:
         # reference fragment composition (generate_images_sd1.py:80-91)
         method = "xattn"
-        if "noxattn" in n:
+        if "noxattn" in toks:
             method = "noxattn"
-        if "hspace" in n:
+        if "hspace" in toks:
             method += "-hspace"
-        if "last" in n:
+        if "last" in toks:
             method += "-last"
-    if "hspace" in n or "last" in n:
+    if "hspace" in toks or "last" in toks:
         out["scales"] = list(HSPACE_SCALES)
     out["train_method"] = method
     out["network_type"] = "lierla" if method == "xattn" else "c3lier"

@@ -52,6 +52,10 @@ def main(args):
     name = os.path.basename(args.model_name).replace(".pt", "")
     folder_path = os.path.join(args.save_path, name)
     os.makedirs(os.path.join(folder_path, "all"), exist_ok=True)
+    # the '0.5'->'half' SUBSTRING replace is the reference's own folder
+    # convention (generate_images_sd1.py:116-121) — scoring.py unmangles it
+    # the same way, so e.g. 10.5 -> '1half' matches the reference layout
+    # rather than fixing it (interop contract)
     scale_strs = [
         str(s).replace("0.5", "half").rstrip("0").rstrip(".") if "." in str(s) else str(s)
         for s in scales

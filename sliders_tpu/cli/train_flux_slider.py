@@ -54,10 +54,11 @@ def main(args):
         attributes = [a.strip() for a in args.attributes.split(",")]
     prompts = load_prompts_from_yaml(config.prompts_file, attributes)
 
+    from sliders_tpu.parallel import mesh as pmesh
+
+    pmesh.maybe_initialize_distributed()  # multi-host: before any device op
     dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
     models = loader.load_flux(config.pretrained_model.name_or_path, dtype=dtype)
-
-    from sliders_tpu.parallel import mesh as pmesh
 
     mesh = None
     if len(jax.devices()) > 1 or config.tpu.tp > 1:

@@ -102,10 +102,6 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
 
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
 
-    def emb(prompt):
-        e = cache[prompt]
-        return e if not models.is_xl else e
-
     batch_static = {}
     for k, prompt in (
         ("positive", settings.positive),
@@ -135,7 +131,9 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
     while i < config.train.iterations:
         n = min(chunk_cfg, config.train.iterations - i)
         # align chunk ends to the save cadence so each periodic artifact
-        # holds exactly the weights of its labeled step
+        # holds exactly the weights of its labeled step; the phase locks to
+        # the per_steps cycle after the first save, so the set of distinct
+        # chunk lengths (each a one-time jit compile) stays <=4
         if config.save.per_steps and config.save.per_steps > 0:
             boundary = max(
                 ((i + config.save.per_steps - 1) // config.save.per_steps)
@@ -173,7 +171,14 @@ def train_one(config, prompts, models, folder_main, folders, scales, resolution,
                     f"step {sj}: loss*1k={float(m['loss']) * 1000:.4f} "
                     f"scale={float(m['scale'])}"
                 )
-            if sj % config.save.per_steps == 0 and sj != 0 and sj != config.train.iterations - 1 and j == n - 1:
+            if (
+                config.save.per_steps
+                and config.save.per_steps > 0
+                and sj % config.save.per_steps == 0
+                and sj != 0
+                and sj != config.train.iterations - 1
+                and j == n - 1
+            ):
                 print("Saving...")
                 lora_io.save_slider(
                     str(save_dir / f"{config.save.name}_{sj}steps{ext}"),
@@ -206,6 +211,9 @@ def main(args):
 
     import jax.numpy as jnp
 
+    from sliders_tpu.parallel import mesh as _pmesh
+
+    _pmesh.maybe_initialize_distributed()  # multi-host: before any device op
     dtype = jnp.bfloat16 if config.train.precision in ("bf16", "bfloat16") else jnp.float32
     if args.xl:
         models = loader.load_sdxl(

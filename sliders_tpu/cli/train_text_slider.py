@@ -47,6 +47,7 @@ def main(args):
 
     from sliders_tpu.ops.attention import set_default_attention_impl
 
+    pmesh.maybe_initialize_distributed()  # multi-host: before any device op
     set_default_attention_impl(config.tpu.attention)
 
     dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(

@@ -94,7 +94,7 @@ def set_conv_impl(impl: str) -> None:
     read-modify-write passes outweigh the MXU win. Kept as an opt-in
     experiment; takes effect on the next trace."""
     global _CONV_IMPL
-    assert impl in ("auto", "xla"), impl
+    assert impl in ("auto", "xla", "interpret"), impl
     _CONV_IMPL = impl
 
 
@@ -118,11 +118,13 @@ def conv2d(
     w = p["weight"]
     same_pad = padding == "SAME" or padding == [(1, 1), (1, 1)]
     if (
-        _CONV_IMPL == "auto"
-        and stride == 1
+        stride == 1
         and same_pad
         and w.shape[:2] == (3, 3)
-        and jax.default_backend() == "tpu"
+        and (
+            (_CONV_IMPL == "auto" and jax.default_backend() == "tpu")
+            or _CONV_IMPL == "interpret"  # CPU test hook (pallas_conv.set_interpret)
+        )
     ):
         from sliders_tpu.ops import pallas_conv as pcv
 

@@ -147,17 +147,28 @@ def routed(x_shape, w_shape, stride: int = 1, itemsize: int = 2) -> bool:
     return x_shape[1] * x_shape[2] >= 256
 
 
+_INTERPRET = False  # test hook: run the kernel in interpret mode (CPU CI)
+
+
+def set_interpret(flag: bool) -> None:
+    """Route conv3x3_vjp through the Pallas interpreter — lets the CPU test
+    suite exercise the full conv2d routing integration (zero-bias synthesis,
+    LoRA tail composition) that otherwise only runs on real TPU hardware."""
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
 @jax.custom_vjp
 def conv3x3_vjp(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """conv3x3 with an XLA-conv VJP: the backward of a stride-1 SAME conv is
     two convs (dx: transposed-kernel conv; dw: x (*) g correlation) that XLA
     already emits well, and in the LoRA-only train steps the frozen base
     weights' dw is dead code XLA prunes — only dx survives."""
-    return conv3x3(x, w, b)
+    return conv3x3(x, w, b, interpret=_INTERPRET)
 
 
 def _conv3x3_vjp_fwd(x, w, b):
-    return conv3x3(x, w, b), (x, w)
+    return conv3x3(x, w, b, interpret=_INTERPRET), (x, w)
 
 
 def _conv3x3_vjp_bwd(res, g):

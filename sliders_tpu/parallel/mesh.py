@@ -38,8 +38,13 @@ def maybe_initialize_distributed() -> int:
     within a slice — the dp axis should span hosts only for pure
     gradient psum (LoRA grads are KB-sized, DCN-tolerable).
 
-    Returns the process count (1 when single-process). Untestable beyond
-    the single-process path in this environment (one real chip).
+    Called by the training CLIs before any device op. Triggers on either
+    the explicit SLIDERS_* vars or, when only the standard coordination
+    var JAX_COORDINATOR_ADDRESS is present, defers to
+    ``jax.distributed.initialize()``'s own cluster auto-detection
+    (Cloud TPU / GKE / SLURM). Returns the process count (1 when
+    single-process). Untestable beyond the single-process path in this
+    environment (one real chip).
     """
     import os
 
@@ -50,6 +55,9 @@ def maybe_initialize_distributed() -> int:
             num_processes=n,
             process_id=int(os.environ.get("SLIDERS_PROCESS_ID", "0")),
         )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        n = jax.process_count()
     return n
 
 

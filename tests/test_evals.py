@@ -139,3 +139,11 @@ def test_infer_params_from_name():
     assert p2["train_method"] == "noxattn-hspace"
     assert p2["rank"] == 16 and p2["alpha"] == 8.0
     assert p2["network_type"] == "c3lier"
+    # fragment matching is token-based: an incidental substring in the
+    # checkpoint filename ('ballast' contains 'last', 'fullface' contains
+    # 'full') must NOT override a reference-layout parent dir's method
+    p3 = infer_params_from_name("models/age_noxattn/ballast.pt")
+    assert p3["train_method"] == "noxattn"
+    assert p3["scales"] == [-2.0, -1.0, 0.0, 1.0, 2.0]
+    p4 = infer_params_from_name("models/age_noxattn/fullface.pt")
+    assert p4["train_method"] == "noxattn"

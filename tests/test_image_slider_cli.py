@@ -10,7 +10,7 @@ from helpers import make_tiny_snapshot
 pytestmark = pytest.mark.slow
 
 
-def _setup(tmp_path, steps_per_call=1, iterations=3):
+def _setup(tmp_path, steps_per_call=1, iterations=3, per_steps=100):
     from PIL import Image
 
     snap = make_tiny_snapshot(str(tmp_path / "snap"))
@@ -46,7 +46,7 @@ train:
 save:
   name: eyesize
   path: {tmp_path}/out
-  per_steps: 100
+  per_steps: {per_steps}
 tpu:
   remat: false
   donate: false
@@ -74,6 +74,18 @@ def test_train_image_slider_cli(tmp_path):
     out = tmp_path / "out" / "eyesize_alpha1.0_rank2_noxattn"
     files = os.listdir(out)
     assert any(f.endswith("_last.safetensors") for f in files), files
+
+
+def test_train_image_slider_cli_per_steps_zero(tmp_path):
+    """save.per_steps: 0 disables periodic saves (no ZeroDivisionError in
+    the chunk-alignment / save-cadence arithmetic); only _last is written."""
+    from sliders_tpu.cli.train_image_slider import main
+
+    main(_setup(tmp_path, steps_per_call=2, iterations=3, per_steps=0))
+    out = tmp_path / "out" / "eyesize_alpha1.0_rank2_noxattn"
+    files = os.listdir(out)
+    assert any(f.endswith("_last.safetensors") for f in files), files
+    assert not any("steps.safetensors" in f for f in files), files
 
 
 def test_train_image_slider_cli_chunked_matches_unchunked(tmp_path):

@@ -61,3 +61,40 @@ def test_supports_policy():
     assert not pc.supports((2, 64, 64, 320), (3, 3, 320, 4))
     # 1024px level-0 (130x130x320 image = 21 MB > VMEM): no
     assert not pc.supports((2, 128, 128, 320), (3, 3, 320, 320))
+
+
+def test_conv2d_routing_integration_interpret():
+    """The ops.basic.conv2d 'auto' routing branch (zero-bias synthesis + LoRA
+    tail after the Pallas conv) — exercised on CPU via the 'interpret' impl
+    (pallas_conv.set_interpret), value AND grad parity vs the XLA path."""
+    from sliders_tpu.ops import basic
+
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 128), jnp.float32)
+    w = jax.random.normal(jax.random.key(2), (3, 3, 128, 128), jnp.float32) * 0.05
+    down = jax.random.normal(jax.random.key(3), (3, 3, 128, 2), jnp.float32) * 0.05
+    up = jax.random.normal(jax.random.key(4), (1, 1, 2, 128), jnp.float32) * 0.05
+    lw = {"conv": {"down": down, "up": up, "alpha": 1.0}}
+
+    def run(p, lw):
+        lora = basic.SliderLora(weights=lw, multiplier=jnp.asarray(1.0))
+        return basic.conv2d(p, x, lora=lora, name="conv")
+
+    def loss(p, lw):
+        return jnp.sum(run(p, lw) ** 2)
+
+    for p in ({"weight": w, "bias": jax.random.normal(jax.random.key(5), (128,))},
+              {"weight": w}):  # no-bias: the routed branch synthesizes zeros
+        ref_y = run(p, lw)
+        ref_g = jax.grad(loss, argnums=1)(p, lw)
+        pc.set_interpret(True)
+        basic.set_conv_impl("interpret")
+        try:
+            assert pc.routed(x.shape, w.shape, 1, 4)
+            got_y = run(p, lw)
+            got_g = jax.grad(loss, argnums=1)(p, lw)
+        finally:
+            basic.set_conv_impl("xla")
+            pc.set_interpret(False)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y), atol=2e-3, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=1e-3)
