@@ -240,8 +240,11 @@ def main_sdxl():
         trainable_mask=lnet.trainable_mask(lora),
     )
     # chunk sweep (round-3): 5 -> 1.403, 10 -> 1.732 steps/s (dispatch
-    # amortization); chunk=20 fails to load through the tunnel (TPU backend
-    # InvalidArgument — program too large). 10 is the measured sweet spot.
+    # amortization); re-swept later in round 3 (experiments/chunk_sweep_xl.py):
+    # 15 -> 1.783, 20 -> 1.494 (20's earlier "program too large" load failure
+    # was transient tunnel flake — it loads, it's just slower). 15-vs-10 is
+    # within host-contention noise (chunk=10 has a 2.05 steps/s warm reading
+    # on record), so 10 stays the default.
     chunk = 10
     step = make_text_slider_step(
         cfg, schedule, sampler, optimizer,
@@ -463,6 +466,75 @@ def main_xl1024():
     )
 
 
+def main_invert():
+    """Secondary metric: full real-image-edit latency — the
+    demo_image_editing.ipynb protocol (SURVEY.md §3.5): 50-step DDIM
+    inversion (cond-only preds), null-text optimization (10 inner Adam
+    steps per timestep, CFG 7.5), then one slider-gated resample from x_T
+    (start_noise 500, scale 1). SD1.5 at 512px, bf16 UNet; the optimized
+    uncond embedding stays f32 (Adam at lr ~1e-2). The three stages are
+    data-dependent (traj -> uncond_opt -> edit), so one final host fetch
+    proves the whole chain completed."""
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.pipelines import inversion as inv
+
+    cfg = unet2d.SD15
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    lora = lnet.create_slider_network(
+        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    invert = inv.make_ddim_inversion_fn(cfg, sampler, compute_dtype=jnp.bfloat16)
+    null_opt = inv.make_null_text_optimizer(
+        cfg, sampler, guidance_scale=7.5, num_inner_steps=10,
+        compute_dtype=jnp.bfloat16,
+    )
+    edit = inv.make_edit_sampling_fn(
+        cfg, sampler, guidance_scale=7.5, compute_dtype=jnp.bfloat16
+    )
+    ks = jax.random.split(jax.random.key(2), 3)
+    cond = jax.random.normal(ks[0], (1, 77, 768), jnp.bfloat16)
+    uncond = jax.random.normal(ks[1], (1, 77, 768), jnp.float32)
+    clean = jax.random.normal(ks[2], (1, 64, 64, 4), jnp.bfloat16) * 0.3
+
+    def run(latents):
+        traj = invert(unet_params, latents, cond)
+        uncond_opt = null_opt(unet_params, traj, cond, uncond)
+        return edit(
+            unet_params, traj[0], cond, uncond_opt, lora,
+            jnp.asarray(1.0), jnp.asarray(500.0),
+        )
+
+    out = run(clean)
+    _ = np.asarray(out[0, 0, 0, 0])
+
+    def run_once():
+        nonlocal out
+        # chain: the next edit's input data-depends on the previous output
+        out = run(clean + out.astype(jnp.bfloat16) * 1e-6)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    dt = best_sample(run_once)
+    print(
+        json.dumps(
+            {
+                "metric": "null_text_inversion_edit_latency",
+                "value": round(dt, 2),
+                "unit": "s",
+                "vs_baseline": None,
+                "protocol": "50-step DDIM invert + 50x10 null-text Adam + 50-step edit resample, 512px",
+            }
+        )
+    )
+
+
 def main_image():
     """Secondary metric: SD1.5 image-slider train step at the reference
     protocol (train_lora-scale.py: 256px for SD1, batch 1 pair, fused ±s
@@ -545,5 +617,7 @@ if __name__ == "__main__":
         main_image()
     elif "--model" in sys.argv and "xl1024" in sys.argv:
         main_xl1024()
+    elif "--model" in sys.argv and "invert" in sys.argv:
+        main_invert()
     else:
         main()
