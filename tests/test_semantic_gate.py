@@ -43,22 +43,27 @@ def _brightness_sweep(fn, unet_params, vae_params, vae_cfg, lora_weights, emb,
     return vals
 
 
-def test_image_slider_slides_monotone():
-    """Brightness slider: +scale must brighten, -scale must darken, strictly
-    monotone across [-2,-1,0,1,2]; negating the learned LoRA direction (a
-    wrong-sign update) must reverse the ordering and fail the same gate."""
-    from sliders_tpu.diffusion import make_sampler, make_schedule
-    from sliders_tpu.lora import network as lnet
-    from sliders_tpu.models import unet2d, vae
-    from sliders_tpu.pipelines import text2image as t2i
-    from sliders_tpu.training import optimizers as opt_factory
-    from sliders_tpu.training.image_slider import make_image_slider_step
-    from sliders_tpu.training.text_slider import SliderTrainState
+# The pretrained "base model" for the gate (a tiny VAE that actually
+# autoencodes + a tiny UNet that denoises the neutral-brightness
+# distribution) is a FIXTURE, not part of the behavior under test — the
+# reference's regime is exactly "a real pretrained base model, plus a slider
+# trained on top". Pretraining it takes ~800 jitted steps (~30 min on a
+# 1-core host), so the result is committed as an npz and regenerated
+# automatically (same probe-tuned recipe, deterministic seeds) whenever the
+# file is missing or the model structure changed. Delete the npz to force
+# regeneration.
+_BASE_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "semantic_gate_base.npz"
+)
 
+
+def _pretrain_base(cfg, vae_cfg, schedule, emb):
+    """Probe-tuned base-model pretrain (see inline comments); returns
+    (vae_params, unet_params)."""
     import optax
 
-    cfg = unet2d.TINY
-    vae_cfg = vae.TINY
+    from sliders_tpu.models import unet2d, vae
+
     unet_params = unet2d.init_params(jax.random.key(0), cfg)
     vae_params = vae.init_params(jax.random.key(1), vae_cfg)
 
@@ -91,8 +96,6 @@ def test_image_slider_slides_monotone():
             ae_l0 = float(l)
         ae_l = float(l)
     assert ae_l < 0.25 * ae_l0, f"VAE autoencoder pretrain did not converge: {ae_l0} -> {ae_l}"
-    schedule = make_schedule()
-    sampler = make_sampler(schedule, "ddim", num_steps=5)
 
     # Pre-train the tiny UNet as a denoiser of the NEUTRAL-brightness
     # distribution only. Two reasons (probe-validated, round 3): (a) samples
@@ -122,7 +125,6 @@ def test_image_slider_slides_monotone():
         updates, ost = den_opt.update(grads, ost)
         return optax.apply_updates(up, updates), ost, loss
 
-    emb = jax.random.normal(jax.random.key(4), (7, cfg.cross_attention_dim))
     ost = den_opt.init(unet_params)
     for i in range(600):
         base = ae_rng.normal(0.0, 0.25, (8, 64, 64, 3)).astype(np.float32)
@@ -132,6 +134,62 @@ def test_image_slider_slides_monotone():
             jax.random.key(1000 + i),
         )
     assert float(den_l) < 0.5, f"denoiser pretrain did not converge: {float(den_l)}"
+    return vae_params, unet_params
+
+
+def _load_or_pretrain_base(cfg, vae_cfg, schedule, emb):
+    from sliders_tpu.models import unet2d, vae
+
+    # structure donors: fresh inits give the treedefs + expected shapes
+    ref_u = unet2d.init_params(jax.random.key(0), cfg)
+    ref_v = vae.init_params(jax.random.key(1), vae_cfg)
+    if os.path.exists(_BASE_FIXTURE):
+        try:
+            z = np.load(_BASE_FIXTURE)
+            lu = [jnp.asarray(z[f"u{i}"]) for i in range(int(z["n_u"]))]
+            lv = [jnp.asarray(z[f"v{i}"]) for i in range(int(z["n_v"]))]
+            u = jax.tree.unflatten(jax.tree.structure(ref_u), lu)
+            v = jax.tree.unflatten(jax.tree.structure(ref_v), lv)
+            jax.tree.map(lambda a, b: (a.shape, a.dtype) == (b.shape, b.dtype) or (_ for _ in ()).throw(ValueError("shape/dtype drift")), u, ref_u)
+            jax.tree.map(lambda a, b: (a.shape, a.dtype) == (b.shape, b.dtype) or (_ for _ in ()).throw(ValueError("shape/dtype drift")), v, ref_v)
+            return v, u
+        except Exception as e:  # stale fixture (model structure changed)
+            print(f"semantic-gate fixture stale ({e!r}); regenerating")
+    vae_params, unet_params = _pretrain_base(cfg, vae_cfg, schedule, emb)
+    os.makedirs(os.path.dirname(_BASE_FIXTURE), exist_ok=True)
+    lu = [np.asarray(x) for x in jax.tree.leaves(unet_params)]
+    lv = [np.asarray(x) for x in jax.tree.leaves(vae_params)]
+    np.savez_compressed(
+        _BASE_FIXTURE,
+        n_u=len(lu), n_v=len(lv),
+        **{f"u{i}": x for i, x in enumerate(lu)},
+        **{f"v{i}": x for i, x in enumerate(lv)},
+    )
+    return vae_params, unet_params
+
+
+def test_image_slider_slides_monotone():
+    """Brightness slider: +scale must brighten, -scale must darken, strictly
+    monotone across [-2,-1,0,1,2]; negating the learned LoRA direction (a
+    wrong-sign update) must reverse the ordering and fail the same gate.
+
+    The pretrained base model comes from the committed fixture (see
+    _load_or_pretrain_base above); the slider TRAINING and both acceptance
+    gates always run live."""
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d, vae
+    from sliders_tpu.pipelines import text2image as t2i
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.image_slider import make_image_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState
+
+    cfg = unet2d.TINY
+    vae_cfg = vae.TINY
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=5)
+    emb = jax.random.normal(jax.random.key(4), (7, cfg.cross_attention_dim))
+    vae_params, unet_params = _load_or_pretrain_base(cfg, vae_cfg, schedule, emb)
 
     lora = lnet.create_slider_network(
         jax.random.key(2), unet_params, rank=4, train_method="noxattn",
