@@ -3,7 +3,8 @@
 The reference is strictly single-GPU (`torch.device(f"cuda:{args.device}")`,
 train_lora.py:367; no torch.distributed anywhere — SURVEY.md §2). This module
 is the TPU-native scaling layer it lacks: one `jax.sharding.Mesh` with a
-``dp`` (data) axis and a ``tp`` (tensor/model) axis.
+``dp`` (data) axis and a ``tp`` (tensor/model) axis, plus an opt-in ``sp``
+(sequence) axis feeding ops.ring_attention past the single-chip ceiling.
 
 Sharding strategy for slider training:
   - batch (initial latents / noise / per-sample timesteps) sharded on ``dp``;
@@ -21,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
+SEQ_AXIS = "sp"  # sequence-parallel axis for ops.ring_attention (opt-in)
 
 
 def maybe_initialize_distributed() -> int:
@@ -61,18 +63,28 @@ def maybe_initialize_distributed() -> int:
     return n
 
 
-def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. dp=-1 means all remaining devices."""
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp[, sp]) mesh. dp=-1 means all remaining devices.
+
+    The ``sp`` (sequence-parallel) axis is only materialized when sp > 1 —
+    it feeds ops.ring_attention for sequences past the single-chip ceiling;
+    every reference-protocol shape fits one chip (SURVEY.md §5.7), so the
+    default mesh stays 2-axis."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if dp == -1:
-        if n % tp != 0:
-            raise ValueError(f"{n} devices not divisible by tp={tp}")
-        dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}")
-    mesh_devices = devices[: dp * tp].reshape(dp, tp)
-    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+        if n % (tp * sp) != 0:
+            raise ValueError(f"{n} devices not divisible by tp*sp={tp * sp}")
+        dp = n // (tp * sp)
+    if dp * tp * sp > n:
+        raise ValueError(
+            f"mesh {dp}x{tp}x{sp} needs {dp * tp * sp} devices, have {n}"
+        )
+    if sp == 1:
+        mesh_devices = devices[: dp * tp].reshape(dp, tp)
+        return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+    mesh_devices = devices[: dp * tp * sp].reshape(dp, tp, sp)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

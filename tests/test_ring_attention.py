@@ -1,0 +1,118 @@
+"""Ring attention (sequence-parallel over ICI) parity on the virtual mesh.
+
+The reference has no distribution and its attention tops out at 4096 tokens
+(SURVEY.md §5.7); ops.ring_attention is the TPU-native scaling path past
+that ceiling. These tests pin that the ring's online-softmax merge equals
+full-softmax attention (forward AND gradients) on the 8-virtual-device CPU
+mesh, for self-attention shapes shaped like the models' (d=40 SD, d=128
+FLUX)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sliders_tpu.ops import ring_attention as ra
+from sliders_tpu.ops.attention import xla_attention
+from sliders_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.slow
+
+
+def _rand_qkv(key, shape):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (
+        jax.random.normal(kq, shape),
+        jax.random.normal(kk, shape),
+        jax.random.normal(kv, shape),
+    )
+
+
+def test_make_mesh_sp_axis():
+    m = pmesh.make_mesh(dp=2, tp=1, sp=4)
+    assert m.axis_names == ("dp", "tp", "sp")
+    assert m.devices.shape == (2, 1, 4)
+    # default stays 2-axis (back-compat for every existing P('dp'/'tp') spec)
+    assert pmesh.make_mesh(dp=4, tp=2).axis_names == ("dp", "tp")
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(dp=2, tp=2, sp=4)  # 16 > 8 devices
+
+
+@pytest.mark.parametrize(
+    "shape", [(2, 4, 256, 40), (1, 8, 128, 128)], ids=["sd_d40", "flux_d128"]
+)
+def test_ring_forward_matches_full_softmax(shape):
+    mesh = pmesh.make_mesh(dp=1, tp=1, sp=8)
+    q, k, v = _rand_qkv(jax.random.key(0), shape)
+    base = xla_attention(q, k, v)
+    out = ring_attention_jit(mesh)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-6)
+
+
+def ring_attention_jit(mesh, batch_axis=None):
+    return jax.jit(
+        lambda q, k, v: ra.ring_attention(q, k, v, mesh, batch_axis=batch_axis)
+    )
+
+
+def test_ring_with_dp_batch_axis():
+    """(dp=2, sp=4): batch rows sharded over dp while each row's sequence
+    rings over sp — the combined layout for high-res batched sampling."""
+    mesh = pmesh.make_mesh(dp=2, tp=1, sp=4)
+    q, k, v = _rand_qkv(jax.random.key(1), (4, 2, 64, 32))
+    base = xla_attention(q, k, v)
+    out = ring_attention_jit(mesh, batch_axis="dp")(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-6)
+
+
+def test_ring_gradients_match_full_softmax():
+    """The ppermute ring must transpose correctly: d(loss)/d(q,k,v) through
+    the ring == through the reference full-softmax path (the ring is what a
+    sequence-parallel train step would differentiate through)."""
+    mesh = pmesh.make_mesh(dp=1, tp=1, sp=8)
+    q, k, v = _rand_qkv(jax.random.key(2), (1, 2, 64, 16))
+    cot = jax.random.normal(jax.random.key(3), q.shape)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ra.ring_attention(q, k, v, mesh) * cot)
+
+    def loss_base(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * cot)
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_base = jax.grad(loss_base, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_base, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"ring d{name} != full-softmax d{name}",
+        )
+
+
+def test_ring_multihead_entry():
+    """(B, L, D) wrapper matches multihead XLA attention."""
+    mesh = pmesh.make_mesh(dp=1, tp=1, sp=8)
+    B, L, H, d = 2, 128, 4, 24
+    kq, kk, kv = jax.random.split(jax.random.key(4), 3)
+    q = jax.random.normal(kq, (B, L, H * d))
+    k = jax.random.normal(kk, (B, L, H * d))
+    v = jax.random.normal(kv, (B, L, H * d))
+    from sliders_tpu.ops.attention import multihead_attention
+
+    base = multihead_attention(q, k, v, H, impl="xla")
+    out = jax.jit(
+        lambda q, k, v: ra.ring_multihead_attention(q, k, v, H, mesh)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-6)
+
+
+def test_ring_rejects_bad_shapes():
+    mesh = pmesh.make_mesh(dp=1, tp=1, sp=8)
+    q = jnp.zeros((1, 2, 100, 16))  # 100 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        ra.ring_attention(q, q, q, mesh)
+    q2 = jnp.zeros((1, 2, 64, 16))
+    kv = jnp.zeros((1, 2, 32, 16))  # cross-attention shape: unsupported
+    with pytest.raises(ValueError, match="self-attention"):
+        ra.ring_attention(q2, kv, kv, mesh)
+    with pytest.raises(ValueError, match="no 'sp' axis"):
+        ra.ring_attention(q2, q2, q2, pmesh.make_mesh(dp=8, tp=1))
