@@ -209,10 +209,14 @@ def main_flux():
     print(steps_line("flux_mini_4x8_slider_train_steps_per_sec_chip", value))
 
 
-def main_sdxl():
+def main_sdxl(chunk: int = 10) -> float:
     """Secondary metric: SDXL text-slider train step at the reference's XL
     protocol (config-xl.yaml: 512px, batch 1, rank 4 noxattn, DDIM-50 grid,
-    CFG-doubled denoise) — the BASELINE.json north-star model."""
+    CFG-doubled denoise) — the BASELINE.json north-star model.
+
+    `chunk` overrides steps_per_call for the sweep experiment
+    (experiments/chunk_sweep_xl.py) so the sweep measures THIS protocol,
+    not a copy; returns the measured steps/s."""
     import numpy as np
 
     from sliders_tpu.diffusion import make_sampler, make_schedule
@@ -245,7 +249,6 @@ def main_sdxl():
     # was transient tunnel flake — it loads, it's just slower). 15-vs-10 is
     # within host-contention noise (chunk=10 has a 2.05 steps/s warm reading
     # on record), so 10 stays the default.
-    chunk = 10
     step = make_text_slider_step(
         cfg, schedule, sampler, optimizer,
         max_denoising_steps=50, resolution=512, batch_size=1,
@@ -277,6 +280,7 @@ def main_sdxl():
 
     value = calls * chunk / best_sample(run_once, samples=5)
     print(steps_line("sdxl_text_slider_train_steps_per_sec_chip", value))
+    return value
 
 
 def main_sample():

@@ -85,8 +85,8 @@ def ring_attention(
     q, k, v: GLOBAL (B, H, L, d) arrays; L is sharded over mesh axis
     ``axis`` (shard_map partitions them; pre-placing with the matching
     NamedSharding avoids a resharding copy). ``batch_axis`` optionally
-    also shards B (data parallel within the same call). L must divide the
-    axis size. Self-attention only (Lq == Lkv rotates the same blocks);
+    also shards B (data parallel within the same call). The ``axis`` size
+    must divide L. Self-attention only (Lq == Lkv rotates the same blocks);
     diffusion attention carries no mask, so none is supported.
     """
     if axis not in mesh.axis_names:

@@ -150,8 +150,12 @@ def _load_or_pretrain_base(cfg, vae_cfg, schedule, emb):
             lv = [jnp.asarray(z[f"v{i}"]) for i in range(int(z["n_v"]))]
             u = jax.tree.unflatten(jax.tree.structure(ref_u), lu)
             v = jax.tree.unflatten(jax.tree.structure(ref_v), lv)
-            jax.tree.map(lambda a, b: (a.shape, a.dtype) == (b.shape, b.dtype) or (_ for _ in ()).throw(ValueError("shape/dtype drift")), u, ref_u)
-            jax.tree.map(lambda a, b: (a.shape, a.dtype) == (b.shape, b.dtype) or (_ for _ in ()).throw(ValueError("shape/dtype drift")), v, ref_v)
+            for got, want in zip(lu + lv, jax.tree.leaves(ref_u) + jax.tree.leaves(ref_v)):
+                if (got.shape, got.dtype) != (want.shape, want.dtype):
+                    raise ValueError(
+                        f"shape/dtype drift: fixture {got.shape}/{got.dtype} "
+                        f"vs model {want.shape}/{want.dtype}"
+                    )
             return v, u
         except Exception as e:  # stale fixture (model structure changed)
             print(f"semantic-gate fixture stale ({e!r}); regenerating")
