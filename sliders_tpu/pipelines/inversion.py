@@ -11,9 +11,13 @@ Reference behavior (demo_image_editing.ipynb cells 3-10, SURVEY.md §3.5):
      the slider gated at start_noise (500 in the notebook).
 
 TPU re-design: inversion is one `lax.scan`; the null-text optimization is a
-single jitted scan over timesteps with a fixed-trip inner Adam loop whose
-updates are masked once the loss passes the early-stop threshold (same
-result as breaking, but static control flow).
+single jitted scan over timesteps with a `lax.while_loop` inner Adam loop
+that exits early once the loss passes the threshold (the notebook's
+`break`), skipping the remaining UNet evals instead of masking them. The
+conditional eps is computed ONCE per timestep and reused across the inner
+loop and the trajectory advance — it does not depend on the optimized
+embedding, and the notebook hoists it the same way (`noise_pred_cond` is
+computed before the inner loop, demo_image_editing.ipynb null_optimization).
 """
 
 from __future__ import annotations
@@ -76,36 +80,39 @@ def make_null_text_optimizer(
             tx = optax.adam(lr)
             threshold = epsilon + i.astype(jnp.float32) * 2e-5
 
+            # hoisted: the conditional eps does not depend on u (and x is
+            # fixed across the inner loop) — one forward per timestep
+            eps_c = unet2d.apply(unet_params, unet_cfg, x, sampler.timesteps[i], cond_emb)
+
             def loss_fn(u):
                 eps_u = unet2d.apply(unet_params, unet_cfg, x, sampler.timesteps[i], u)
-                eps_c = unet2d.apply(unet_params, unet_cfg, x, sampler.timesteps[i], cond_emb)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 x_prev, _ = sampler.step(i, eps, x, {})
                 d = (x_prev - target).astype(jnp.float32)
                 return jnp.mean(d * d)
 
-            def inner(state, _):
-                u, opt_state, done = state
+            # notebook break semantics: apply the update that crossed the
+            # threshold, then stop — remaining UNet evals are actually
+            # skipped (while_loop), not masked
+            def inner_cond(state):
+                j, _, _, done = state
+                return jnp.logical_and(j < num_inner_steps, jnp.logical_not(done))
+
+            def inner_body(state):
+                j, u, opt_state, _ = state
                 loss, g = jax.value_and_grad(loss_fn)(u)
-                updates, new_opt = tx.update(g, opt_state, u)
-                new_u = optax.apply_updates(u, updates)
-                # early stop: freeze once below threshold (notebook break)
-                now_done = jnp.logical_or(done, loss < threshold)
-                u = jnp.where(done, u, new_u)
-                opt_state = jax.tree.map(
-                    lambda a, b: jnp.where(done, a, b), opt_state, new_opt
-                )
-                return (u, opt_state, now_done), None
+                updates, opt_state = tx.update(g, opt_state, u)
+                u = optax.apply_updates(u, updates)
+                return j + 1, u, opt_state, loss < threshold
 
             u0 = uncond_emb
-            (u, _, _), _ = jax.lax.scan(
-                inner, (u0, tx.init(u0), jnp.asarray(False)), None,
-                length=num_inner_steps,
+            _, u, _, _ = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (jnp.asarray(0), u0, tx.init(u0), jnp.asarray(False)),
             )
 
-            # advance the trajectory with the optimized uncond
+            # advance the trajectory with the optimized uncond (eps_c reused)
             eps_u = unet2d.apply(unet_params, unet_cfg, x, sampler.timesteps[i], u)
-            eps_c = unet2d.apply(unet_params, unet_cfg, x, sampler.timesteps[i], cond_emb)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             x_next, _ = sampler.step(i, eps, x, {})
             return x_next.astype(compute_dtype), u
@@ -124,12 +131,17 @@ def make_edit_sampling_fn(
     compute_dtype=jnp.float32,
 ):
     """Sampling from x_T with PER-STEP uncond embeddings (null-text) and the
-    slider gated by start_noise (notebook cell 10 uses start_noise=500)."""
+    slider gated by start_noise (notebook cell 10 uses start_noise=500).
+
+    `slider_scale` may be a scalar (merged-delta path) or a (batch,) vector
+    of per-sample scales — the whole scale sweep of notebook cell 10 as ONE
+    batched denoise (same design as text2image.make_sampling_fn)."""
     n = sampler.num_steps
 
     def fn(unet_params, x_T, cond_emb, uncond_per_step, lora_weights, slider_scale, start_noise):
         deltas = None
-        if lora_weights is not None:
+        vector = lora_weights is not None and jnp.ndim(slider_scale) == 1
+        if lora_weights is not None and not vector:
             from sliders_tpu.lora.merge import lora_deltas
 
             deltas = lora_deltas(lora_weights, slider_scale)
@@ -137,14 +149,19 @@ def make_edit_sampling_fn(
         def body(carry, i):
             x, s_state = carry
             t = sampler.timesteps[i]
-            params = unet_params
+            params, lora = unet_params, None
             if deltas is not None:
                 from sliders_tpu.lora.merge import add_deltas
 
                 params = add_deltas(unet_params, deltas, jnp.where(t > start_noise, 0.0, 1.0))
+            elif vector:
+                mult = jnp.where(t > start_noise, 0.0, slider_scale)
+                lora = SliderLora(
+                    weights=lora_weights, multiplier=jnp.concatenate([mult, mult])
+                )
             ehs = jnp.concatenate([uncond_per_step[i], cond_emb])
             x2 = jnp.concatenate([x, x])
-            eps = unet2d.apply(params, unet_cfg, x2, t, ehs)
+            eps = unet2d.apply(params, unet_cfg, x2, t, ehs, lora=lora)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps = eps_u + guidance_scale * (eps_c - eps_u)
             x, s_state = sampler.step(i, eps, x, s_state)
@@ -203,12 +220,25 @@ def edit_image(
     edit_fn = make_edit_sampling_fn(
         models.unet_config, sampler, guidance_scale=guidance_scale
     )
-    out = {}
-    for s in scales:
+    # the whole scale sweep (notebook cell 10 loops scales [0,2,4] through
+    # the full 50-step loop each) is ONE batched denoise here: per-sample
+    # LoRA multipliers, len(scales)x fewer UNet programs
+    ns = len(scales)
+    if slider_weights is None:
         x = edit_fn(
             models.unet_params, traj[0], cond, uncond_per_step,
-            slider_weights, jnp.asarray(float(s)), jnp.asarray(start_noise),
+            None, jnp.asarray(0.0), jnp.asarray(start_noise),
         )
-        img = t2i.decode_images(models.vae_params, models.vae_config, x)
-        out[s] = np.asarray(img[0])
-    return out
+        img = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
+        return {s: img[0] for s in scales}
+    x = edit_fn(
+        models.unet_params,
+        jnp.tile(traj[0], (ns, 1, 1, 1)),
+        jnp.tile(cond, (ns, 1, 1)),
+        jnp.tile(uncond_per_step, (1, ns, 1, 1)),
+        slider_weights,
+        jnp.asarray([float(s) for s in scales]),
+        jnp.asarray(start_noise),
+    )
+    imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
+    return {s: imgs[i] for i, s in enumerate(scales)}
