@@ -26,6 +26,50 @@ def set_default_attention_impl(impl: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# sequence-parallel (ring) routing — the scaling path past one chip's
+# sequence ceiling (SURVEY §5.7; ops/ring_attention.py)
+# ---------------------------------------------------------------------------
+
+_RING_CTX = None
+
+
+class ring_context:
+    """While active (at TRACE time — enter it around the jit'd call or
+    trace), every unmasked SELF-attention whose sequence divides the mesh's
+    ring axis routes through ops.ring_attention: K/V blocks rotate over ICI
+    via ppermute, per-chip attention memory is O(L / n_sp). Cross-attention
+    (Lq != Lkv: the 77-token text context) and short sequences keep their
+    single-chip kernels. This makes 2048px+ latents reachable with NO model
+    code changes — the reference caps at 4096 tokens on one GPU.
+
+    Inputs must be sequence-sharded over `axis` (and optionally batch over
+    `batch_axis`) for the shard_map to avoid resharding copies.
+    """
+
+    def __init__(self, mesh, axis: str = "sp", batch_axis: Optional[str] = None,
+                 min_seq: int = 2048):
+        self.mesh, self.axis, self.batch_axis = mesh, axis, batch_axis
+        self.min_seq = min_seq
+
+    def __enter__(self):
+        global _RING_CTX
+        self._prev = _RING_CTX
+        _RING_CTX = self
+        return self
+
+    def __exit__(self, *exc):
+        global _RING_CTX
+        _RING_CTX = self._prev
+        return False
+
+    def wants(self, q_shape, k_shape, mask) -> bool:
+        if mask is not None or q_shape != k_shape:
+            return False
+        lq = q_shape[2]
+        return lq >= self.min_seq and lq % self.mesh.shape[self.axis] == 0
+
+
+# ---------------------------------------------------------------------------
 # attention-probability taps (prompt-to-prompt attention control)
 # ---------------------------------------------------------------------------
 
@@ -134,6 +178,13 @@ def multihead_attention(
     if _ACTIVE_TAP is not None and _ACTIVE_TAP.wants(name):
         out, probs = _xla_attention_probs(qh, kh, vh, mask)
         _ACTIVE_TAP.store[name] = probs
+        return _merge_heads(out)
+    if _RING_CTX is not None and _RING_CTX.wants(qh.shape, kh.shape, mask):
+        from sliders_tpu.ops.ring_attention import ring_attention
+
+        out = ring_attention(
+            qh, kh, vh, _RING_CTX.mesh, _RING_CTX.axis, _RING_CTX.batch_axis
+        )
         return _merge_heads(out)
     # NOTE: routing the head-minor pa.sd_attention_blhd entry here (skipping
     # _split_heads) measured NEUTRAL end-to-end (bench 1.424 vs 1.436

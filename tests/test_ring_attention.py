@@ -105,6 +105,35 @@ def test_ring_multihead_entry():
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-6)
 
 
+def test_ring_context_routes_unet_self_attention():
+    """ops.attention.ring_context: a full UNet forward with every unmasked
+    self-attention ringed over sp equals the plain forward — high-res
+    sequence parallelism with NO model code changes. Cross-attention
+    (Lq=77 text context) must keep its single-chip path (shape-gated)."""
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.ops import attention as attn
+
+    mesh = pmesh.make_mesh(dp=1, tp=1, sp=4)
+    cfg = unet2d.TINY
+    params = unet2d.init_params(jax.random.key(5), cfg)
+    x = jax.random.normal(jax.random.key(6), (1, 16, 16, 4)) * 0.3
+    emb = jax.random.normal(jax.random.key(7), (1, 7, cfg.cross_attention_dim)) * 0.2
+    t = jnp.asarray(500.0)
+
+    base = unet2d.apply(params, cfg, x, t, emb)
+    # min_seq 64: the tiny UNet's level-0 self-attention is L=256 (16x16),
+    # level-1 is L=64 — both ring; the L=7-kv cross-attentions are excluded
+    # by the self-attention shape gate, or routing would crash (7 % 4 != 0)
+    with attn.ring_context(mesh, min_seq=64):
+        ringed = jax.jit(
+            lambda p, x, t, e: unet2d.apply(p, cfg, x, t, e)
+        )(params, x, t, emb)
+    np.testing.assert_allclose(
+        np.asarray(ringed), np.asarray(base), atol=1e-5,
+        err_msg="ring-routed UNet forward != plain forward",
+    )
+
+
 def test_ring_rejects_bad_shapes():
     mesh = pmesh.make_mesh(dp=1, tp=1, sp=8)
     q = jnp.zeros((1, 2, 100, 16))  # 100 % 8 != 0
