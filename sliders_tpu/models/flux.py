@@ -215,20 +215,20 @@ def _single_block(p, x, temb, cos, sin, cfg, lora, name):
 # ---------------------------------------------------------------------------
 
 
-def apply(
+def embed_inputs(
     params: dict,
     cfg: FluxConfig,
     packed_latents: jax.Array,  # (B, L_img, in_channels)
     timestep: jax.Array,  # (B,) in [0, 1] (pipeline passes t/1000)
     pooled: jax.Array,  # (B, pooled_projection_dim)
     encoder_hidden_states: jax.Array,  # (B, L_txt, joint_attention_dim)
-    txt_ids_arr: jax.Array,  # (L_txt, 3)
-    img_ids_arr: jax.Array,  # (L_img, 3)
     guidance: Optional[jax.Array] = None,  # (B,) raw guidance scale
-    lora: Optional[SliderLora] = None,
-    remat: bool = False,
-) -> jax.Array:
-    """Predict the flow velocity (B, L_img, in_channels)."""
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The pre-block embedding preamble: (img, txt, temb) token streams.
+
+    Shared by `apply` and the pipeline-parallel path
+    (parallel/pipeline.flux_apply_pp) so both enter the block stacks with
+    identical states."""
     dtype = packed_latents.dtype
     img = linear(params["x_embedder"], packed_latents)
     txt = linear(params["context_embedder"], encoder_hidden_states.astype(dtype))
@@ -248,6 +248,36 @@ def apply(
     temb = temb + linear(
         tte["text_embedder"]["linear_2"],
         silu(linear(tte["text_embedder"]["linear_1"], pooled.astype(dtype))),
+    )
+    return img, txt, temb
+
+
+def final_layer(params: dict, img: jax.Array, temb: jax.Array) -> jax.Array:
+    """AdaLayerNormContinuous + patch de-embedding (diffusers norm_out /
+    proj_out; scale first, then shift — the diffusers chunk order)."""
+    mod = linear(params["norm_out"]["linear"], silu(temb))
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    img = _ln(img) * (1 + scale[:, None]) + shift[:, None]
+    return linear(params["proj_out"], img)
+
+
+def apply(
+    params: dict,
+    cfg: FluxConfig,
+    packed_latents: jax.Array,  # (B, L_img, in_channels)
+    timestep: jax.Array,  # (B,) in [0, 1] (pipeline passes t/1000)
+    pooled: jax.Array,  # (B, pooled_projection_dim)
+    encoder_hidden_states: jax.Array,  # (B, L_txt, joint_attention_dim)
+    txt_ids_arr: jax.Array,  # (L_txt, 3)
+    img_ids_arr: jax.Array,  # (L_img, 3)
+    guidance: Optional[jax.Array] = None,  # (B,) raw guidance scale
+    lora: Optional[SliderLora] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Predict the flow velocity (B, L_img, in_channels)."""
+    img, txt, temb = embed_inputs(
+        params, cfg, packed_latents, timestep, pooled, encoder_hidden_states,
+        guidance,
     )
 
     ids = jnp.concatenate([txt_ids_arr, img_ids_arr], axis=0)
@@ -273,11 +303,7 @@ def apply(
         )
     img = x[:, txt.shape[1]:]
 
-    # AdaLayerNormContinuous: scale first, then shift (diffusers chunk order)
-    mod = linear(params["norm_out"]["linear"], silu(temb))
-    scale, shift = jnp.split(mod, 2, axis=-1)
-    img = _ln(img) * (1 + scale[:, None]) + shift[:, None]
-    return linear(params["proj_out"], img)
+    return final_layer(params, img, temb)
 
 
 # ---------------------------------------------------------------------------

@@ -3,8 +3,11 @@
 The reference is strictly single-GPU (`torch.device(f"cuda:{args.device}")`,
 train_lora.py:367; no torch.distributed anywhere — SURVEY.md §2). This module
 is the TPU-native scaling layer it lacks: one `jax.sharding.Mesh` with a
-``dp`` (data) axis and a ``tp`` (tensor/model) axis, plus an opt-in ``sp``
-(sequence) axis feeding ops.ring_attention past the single-chip ceiling.
+``dp`` (data) axis and a ``tp`` (tensor/model) axis, plus opt-in ``sp``
+(sequence, feeding ops.ring_attention past the single-chip sequence
+ceiling) and ``pp`` (pipeline, feeding parallel.pipeline past the
+single-chip HBM ceiling) axes. There is no ``ep`` axis because no model
+in the reference's zoo (SD1/2, SDXL, FLUX) has MoE experts to shard.
 
 Sharding strategy for slider training:
   - batch (initial latents / noise / per-sample timesteps) sharded on ``dp``;
@@ -23,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
 SEQ_AXIS = "sp"  # sequence-parallel axis for ops.ring_attention (opt-in)
+PIPE_AXIS = "pp"  # pipeline axis for parallel.pipeline (opt-in)
 
 
 def maybe_initialize_distributed() -> int:
@@ -63,28 +67,39 @@ def maybe_initialize_distributed() -> int:
     return n
 
 
-def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp[, sp]) mesh. dp=-1 means all remaining devices.
+def make_mesh(
+    dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1, devices=None
+) -> Mesh:
+    """Build a (dp, tp[, sp][, pp]) mesh. dp=-1 means all remaining devices.
 
-    The ``sp`` (sequence-parallel) axis is only materialized when sp > 1 —
-    it feeds ops.ring_attention for sequences past the single-chip ceiling;
-    every reference-protocol shape fits one chip (SURVEY.md §5.7), so the
-    default mesh stays 2-axis."""
+    The ``sp`` (sequence-parallel) and ``pp`` (pipeline) axes are only
+    materialized when > 1 — ``sp`` feeds ops.ring_attention for sequences
+    past the single-chip ceiling, ``pp`` feeds parallel.pipeline for models
+    past the single-chip HBM ceiling (full FLUX-dev); every
+    reference-protocol shape fits one chip (SURVEY.md §5.7), so the default
+    mesh stays 2-axis."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if dp == -1:
-        if n % (tp * sp) != 0:
-            raise ValueError(f"{n} devices not divisible by tp*sp={tp * sp}")
-        dp = n // (tp * sp)
-    if dp * tp * sp > n:
+        if n % (tp * sp * pp) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by tp*sp*pp={tp * sp * pp}"
+            )
+        dp = n // (tp * sp * pp)
+    if dp * tp * sp * pp > n:
         raise ValueError(
-            f"mesh {dp}x{tp}x{sp} needs {dp * tp * sp} devices, have {n}"
+            f"mesh {dp}x{tp}x{sp}x{pp} needs {dp * tp * sp * pp} devices, have {n}"
         )
-    if sp == 1:
-        mesh_devices = devices[: dp * tp].reshape(dp, tp)
-        return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
-    mesh_devices = devices[: dp * tp * sp].reshape(dp, tp, sp)
-    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+    shape = [dp, tp]
+    names = [DATA_AXIS, MODEL_AXIS]
+    if sp > 1:
+        shape.append(sp)
+        names.append(SEQ_AXIS)
+    if pp > 1:
+        shape.append(pp)
+        names.append(PIPE_AXIS)
+    k = int(np.prod(shape))
+    return Mesh(devices[:k].reshape(shape), tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -52,15 +52,32 @@ def make_flux_sampling_fn(
     *,
     latent_hw: int,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
+    num_microbatches: int = 1,
 ):
     """fn(params, packed_latents, pooled, t5_embeds, lora_weights,
     slider_scale, skip_slider_timestep_till, guidance, key_unused)
     -> packed latents after all steps.
 
     Slider gate: active when step index i > skip_slider_timestep_till
-    (custom_flux_pipeline.py:703-711); pass -1 to keep it always on."""
+    (custom_flux_pipeline.py:703-711); pass -1 to keep it always on.
+
+    Pass a mesh with a ``pp`` axis to run the block stacks
+    pipeline-parallel (parallel/pipeline.flux_apply_pp) — the capacity
+    path for full FLUX-dev, which exceeds one v5e chip's HBM. Params
+    should then be pre-placed with parallel.pipeline.flux_pp_params
+    (layer-sharded). Under pp the gate cannot use the merged-weight fast
+    path (per-layer name lookups don't cross a traced stage index), so it
+    becomes a branch-free ``scale * (i > skip_till)`` LoRA multiplier —
+    the same numerics, one shared compiled program."""
     n = sampler.num_steps
     img_ids_arr = jnp.asarray(flux.image_ids(latent_hw, latent_hw))
+    use_pp = mesh is not None
+    if use_pp:
+        from sliders_tpu.parallel.mesh import PIPE_AXIS
+
+        if PIPE_AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh has no '{PIPE_AXIS}' axis: {mesh.axis_names}")
 
     def fn(params, latents, pooled, t5_embeds, lora_weights, slider_scale,
            skip_till, guidance):
@@ -70,22 +87,36 @@ def make_flux_sampling_fn(
         g = jnp.broadcast_to(guidance, (B,)) if cfg.guidance_embeds else None
 
         deltas = None
-        if lora_weights is not None:
-            from sliders_tpu.lora.merge import add_deltas, lora_deltas
+        if lora_weights is not None and not use_pp:
+            from sliders_tpu.lora.merge import lora_deltas
 
             deltas = lora_deltas(lora_weights, slider_scale)
 
         def body(x, i):
-            p = params
-            if deltas is not None:
-                from sliders_tpu.lora.merge import add_deltas
-
-                p = add_deltas(params, deltas, jnp.where(i > skip_till, 1.0, 0.0))
             t_norm = jnp.broadcast_to(sampler.timesteps[i] / 1000.0, (B,))
-            v = flux.apply(
-                p, cfg, x, t_norm, pooled.astype(compute_dtype),
-                t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
-            )
+            if use_pp:
+                from sliders_tpu.ops.basic import SliderLora
+                from sliders_tpu.parallel.pipeline import flux_apply_pp
+
+                lora = None
+                if lora_weights is not None:
+                    gated = slider_scale * jnp.where(i > skip_till, 1.0, 0.0)
+                    lora = SliderLora(weights=lora_weights, multiplier=gated)
+                v = flux_apply_pp(
+                    params, cfg, x, t_norm, pooled.astype(compute_dtype),
+                    t5_embeds.astype(compute_dtype), tids, img_ids_arr, mesh,
+                    guidance=g, lora=lora, num_microbatches=num_microbatches,
+                )
+            else:
+                p = params
+                if deltas is not None:
+                    from sliders_tpu.lora.merge import add_deltas
+
+                    p = add_deltas(params, deltas, jnp.where(i > skip_till, 1.0, 0.0))
+                v = flux.apply(
+                    p, cfg, x, t_norm, pooled.astype(compute_dtype),
+                    t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
+                )
             return sampler.step(i, v, x).astype(compute_dtype), None
 
         x, _ = jax.lax.scan(body, latents, jnp.arange(n))

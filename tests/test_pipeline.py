@@ -1,150 +1,208 @@
-"""Sampling pipeline tests: slider gating, CFG, few-step, XL encoding."""
+"""Pipeline-parallel (pp) parity: flux_apply_pp == sequential flux.apply.
+
+The pp engine (parallel/pipeline.py) is the capacity axis the reference
+cannot have (single-GPU only, SURVEY.md §2): full FLUX-dev params exceed
+one v5e chip's HBM, so the block stacks shard BY LAYER over pp. These
+tests pin, on the 8-virtual-device CPU mesh:
+  - forward parity vs the sequential apply (pp=4, 2 microbatches);
+  - LoRA slider parity (stacked relative-name LoRA == dict-name LoRA);
+  - gradient parity through the pipeline (scan + ppermute transpose);
+  - layer-sharded param placement (flux_pp_params puts 1/pp of each
+    stack per device).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from sliders_tpu.diffusion import make_sampler, make_schedule
 from sliders_tpu.lora import network as lnet
-from sliders_tpu.models import clip_text, unet2d, vae
-from sliders_tpu.pipelines import text2image as t2i
-from sliders_tpu.pipelines.encoding import encode_prompts_xl
+from sliders_tpu.models import flux
+from sliders_tpu.ops.basic import SliderLora
+from sliders_tpu.parallel import mesh as pmesh
+from sliders_tpu.parallel import pipeline as pl
+
+CFG = flux.FluxConfig(
+    in_channels=16,
+    num_layers=4,
+    num_single_layers=4,
+    attention_head_dim=16,
+    num_attention_heads=2,
+    joint_attention_dim=32,
+    pooled_projection_dim=24,
+    axes_dims_rope=(4, 6, 6),
+)
+
+
+def _inputs(batch=4, h=8, w=8, l_txt=5):
+    ks = jax.random.split(jax.random.key(7), 4)
+    lat = jax.random.normal(ks[0], (batch, (h // 2) * (w // 2), CFG.in_channels))
+    t = jnp.linspace(0.2, 0.9, batch)
+    pooled = jax.random.normal(ks[1], (batch, CFG.pooled_projection_dim))
+    ehs = jax.random.normal(ks[2], (batch, l_txt, CFG.joint_attention_dim))
+    g = jnp.full((batch,), 1.5)
+    return lat, t, pooled, ehs, jnp.asarray(flux.text_ids(l_txt)), jnp.asarray(
+        flux.image_ids(h, w)
+    ), g
 
 
 @pytest.fixture(scope="module")
-def setup():
-    cfg = unet2d.TINY
-    params = unet2d.init_params(jax.random.key(0), cfg)
-    schedule = make_schedule()
-    sampler = make_sampler(schedule, "ddim", num_steps=6)
-    cond = jax.random.normal(jax.random.key(1), (1, 7, cfg.cross_attention_dim))
-    uncond = jax.random.normal(jax.random.key(2), (1, 7, cfg.cross_attention_dim))
-    lora = lnet.create_slider_network(
-        jax.random.key(3), params, rank=4, train_method="noxattn"
-    )
-    # nonzero up so the slider actually does something
-    lora = jax.tree.map(lambda x: x + 0.05, lora)
-    lats = t2i.initial_latents(jax.random.key(4), 1, 128, 128, sampler.init_noise_sigma)
-    return cfg, params, sampler, cond, uncond, lora, lats
+def params():
+    return flux.init_params(jax.random.key(0), CFG)
 
 
-def _run(setup_t, scale, start_noise, lora=None, g=7.5):
-    cfg, params, sampler, cond, uncond, lora_w, lats = setup_t
-    fn = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.float32)
-    return fn(
-        params, lats, cond, uncond,
-        lora if lora is not None else lora_w,
-        jnp.asarray(scale), jnp.asarray(start_noise), jnp.asarray(g),
-        jax.random.key(0),
-    )
+@pytest.fixture(scope="module")
+def mesh():
+    return pmesh.make_mesh(dp=2, tp=1, pp=4)
 
 
-def test_output_shape_and_finite(setup):
-    out = _run(setup, 1.0, 750.0)
-    assert out.shape == (1, 16, 16, 4)
-    assert np.isfinite(np.asarray(out)).all()
-
-
-def test_slider_gating(setup):
-    """start_noise=-1 -> slider never active (t >= 0 > -1 gates every step),
-    so any scale must reproduce the no-slider output exactly; full window
-    must differ (generate_images_xl.py:325-328 semantics)."""
-    base = _run(setup, 0.0, 1000.0)
-    gated_off = _run(setup, 5.0, -1.0)
-    np.testing.assert_allclose(np.asarray(base), np.asarray(gated_off), atol=1e-5)
-    active = _run(setup, 5.0, 1000.0)
-    assert np.abs(np.asarray(active) - np.asarray(base)).max() > 1e-3
-    # partial window lies strictly between (sanity: differs from both)
-    partial = _run(setup, 5.0, 500.0)
-    assert np.abs(np.asarray(partial) - np.asarray(base)).max() > 1e-4
-    assert np.abs(np.asarray(partial) - np.asarray(active)).max() > 1e-4
-
-
-def test_scale_zero_is_base(setup):
-    base = _run(setup, 0.0, 750.0)
-    cfg, params, sampler, cond, uncond, _, lats = setup
-    fn = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.float32)
-    no_lora = fn(
-        params, lats, cond, uncond, None,
-        jnp.asarray(0.0), jnp.asarray(750.0), jnp.asarray(7.5), jax.random.key(0),
-    )
-    np.testing.assert_allclose(np.asarray(base), np.asarray(no_lora), atol=1e-5)
-
-
-def test_turbo_no_cfg(setup):
-    """Few-step sampling without CFG doubling (SDXL-Turbo protocol)."""
-    cfg, params, _, cond, uncond, lora, _ = setup
-    schedule = make_schedule()
-    sampler = make_sampler(schedule, "ddim", num_steps=3)
-    fn = t2i.make_sampling_fn(cfg, sampler, use_cfg=False, compute_dtype=jnp.float32)
-    lats = t2i.initial_latents(jax.random.key(4), 1, 128, 128, sampler.init_noise_sigma)
-    out = fn(
-        params, lats, cond, uncond, lora,
-        jnp.asarray(2.0), jnp.asarray(700.0), jnp.asarray(1.0), jax.random.key(0),
-    )
-    assert out.shape == (1, 16, 16, 4)
-    assert np.isfinite(np.asarray(out)).all()
-
-
-def test_lms_and_euler_a_sampling(setup):
-    cfg, params, _, cond, uncond, lora, _ = setup
-    schedule = make_schedule()
-    for kind in ("lms", "euler_a"):
-        sampler = make_sampler(schedule, kind, num_steps=5)
-        fn = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.float32)
-        lats = t2i.initial_latents(jax.random.key(4), 1, 128, 128, sampler.init_noise_sigma)
-        out = fn(
-            params, lats, cond, uncond, lora,
-            jnp.asarray(1.0), jnp.asarray(750.0), jnp.asarray(7.5), jax.random.key(0),
+def test_forward_parity(params, mesh):
+    lat, t, pooled, ehs, tids, iids, g = _inputs()
+    ref = flux.apply(params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g)
+    out = jax.jit(
+        lambda p, lat, t, pooled, ehs, g: pl.flux_apply_pp(
+            p, CFG, lat, t, pooled, ehs, tids, iids, mesh,
+            guidance=g, num_microbatches=2,
         )
-        assert np.isfinite(np.asarray(out)).all(), kind
+    )(params, lat, t, pooled, ehs, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_decode_images():
-    cfg = vae.TINY
-    params = vae.init_params(jax.random.key(0), cfg)
-    lats = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
-    imgs = t2i.decode_images(params, cfg, lats)
-    assert imgs.shape == (1, 16, 16, 3)
-    assert imgs.dtype == jnp.uint8
-
-
-def test_add_time_ids():
-    ids = t2i.get_add_time_ids(1024, 1024)
-    np.testing.assert_array_equal(
-        np.asarray(ids), [[1024, 1024, 0, 0, 1024, 1024]]
+@pytest.mark.slow
+def test_forward_parity_single_microbatch(params, mesh):
+    # M=1 (the batch-1 inference case): pure sequential hand-off, all bubble
+    lat, t, pooled, ehs, tids, iids, g = _inputs(batch=2)
+    ref = flux.apply(params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g)
+    out = pl.flux_apply_pp(
+        params, CFG, lat, t, pooled, ehs, tids, iids, mesh,
+        guidance=g, num_microbatches=1,
     )
-    dyn = t2i.get_add_time_ids(512, 512, dynamic_crops=True, key=jax.random.key(0))
-    d = np.asarray(dyn)[0]
-    assert d[0] >= 512 and d[1] >= 512 and 0 <= d[2] <= d[0] - 512 and d[4] == 512
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_encode_prompts_xl_contract():
-    """Penultimate states concat + pooled from encoder 2 (train_util.py:92-133)."""
-    cfg1 = clip_text.TINY
-    cfg2 = clip_text.ClipTextConfig(
-        vocab_size=100, hidden_size=48, num_layers=2, num_heads=2,
-        intermediate_size=96, max_positions=16, eos_token_id=99, projection_dim=40,
+@pytest.mark.slow
+def test_lora_parity(params, mesh):
+    lat, t, pooled, ehs, tids, iids, g = _inputs()
+    weights = lnet.create_slider_network(
+        jax.random.key(3), params, rank=2, train_method="xattn"
     )
-    p1 = clip_text.init_params(jax.random.key(0), cfg1)
-    p2 = clip_text.init_params(jax.random.key(1), cfg2)
-
-    class FakeTok:
-        def __init__(self, pad):
-            self.pad = pad
-
-        def __call__(self, prompts):
-            ids = np.full((len(prompts), 16), self.pad, np.int32)
-            for i, p in enumerate(prompts):
-                ids[i, 0] = 98
-                n = min(len(p.split()), 13)
-                ids[i, 1 : 1 + n] = 5
-                ids[i, 1 + n] = 99
-            return ids
-
-    text, pooled = encode_prompts_xl(
-        [FakeTok(99), FakeTok(0)], [p1, p2], [cfg1, cfg2], ["a photo", "old person"]
+    # zero-init up would make LoRA a no-op; randomize so the branch matters
+    weights = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(11), a.shape) * 0.1
+        if a.ndim == 2 else a,
+        weights,
     )
-    assert text.shape == (2, 16, 32 + 48)
-    assert pooled.shape == (2, 40)  # projection dim of encoder 2
+    lora = SliderLora(weights=weights, multiplier=jnp.asarray(0.7))
+    ref = flux.apply(
+        params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g, lora=lora
+    )
+    base = flux.apply(params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g)
+    assert float(jnp.abs(ref - base).max()) > 1e-4  # LoRA actually engaged
+    out = pl.flux_apply_pp(
+        params, CFG, lat, t, pooled, ehs, tids, iids, mesh,
+        guidance=g, lora=lora, num_microbatches=2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_lora_grad_parity(params, mesh):
+    lat, t, pooled, ehs, tids, iids, g = _inputs(batch=2)
+    weights = lnet.create_slider_network(
+        jax.random.key(3), params, rank=2, train_method="xattn"
+    )
+    weights = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(11), a.shape) * 0.1
+        if a.ndim == 2 else a,
+        weights,
+    )
+    cot = jax.random.normal(jax.random.key(5), (2, 16, CFG.in_channels))
+
+    def loss_ref(w):
+        lora = SliderLora(weights=w, multiplier=jnp.asarray(0.7))
+        out = flux.apply(
+            params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g, lora=lora
+        )
+        return jnp.sum(out * cot)
+
+    def loss_pp(w):
+        lora = SliderLora(weights=w, multiplier=jnp.asarray(0.7))
+        out = pl.flux_apply_pp(
+            params, CFG, lat, t, pooled, ehs, tids, iids, mesh,
+            guidance=g, lora=lora, num_microbatches=2,
+        )
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(loss_ref)(weights)
+    g_pp = jax.jit(jax.grad(loss_pp))(weights)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pp = jax.tree.leaves(g_pp)
+    assert max(float(jnp.abs(a).max()) for a in flat_ref) > 1e-6
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+@pytest.mark.slow
+def test_pp_params_are_layer_sharded(params, mesh):
+    pp_params = pl.flux_pp_params(mesh, params, CFG)
+    leaf = pp_params["transformer_blocks"]["attn"]["to_q"]["weight"]
+    assert leaf.shape[0] == CFG.num_layers
+    # each device holds exactly n_layers/pp of the stack
+    shard_rows = {
+        int(s.data.shape[0]) for s in leaf.addressable_shards
+    }
+    assert shard_rows == {CFG.num_layers // 4}
+    # and the pp forward consumes the sharded tree unchanged
+    lat, t, pooled, ehs, tids, iids, g = _inputs(batch=2)
+    ref = flux.apply(params, CFG, lat, t, pooled, ehs, tids, iids, guidance=g)
+    out = pl.flux_apply_pp(
+        pp_params, CFG, lat, t, pooled, ehs, tids, iids, mesh,
+        guidance=g, num_microbatches=2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_flux_sampler_pp_parity(params, mesh):
+    """The user-reachable path: make_flux_sampling_fn(mesh=...) matches the
+    single-device sampler, including the start-noise gate (skip_till) that
+    the pp path implements as a branch-free LoRA multiplier instead of the
+    merged-weight swap."""
+    from sliders_tpu.diffusion.schedulers import make_flowmatch_sampler
+    from sliders_tpu.pipelines import flux_t2i
+
+    weights = lnet.create_slider_network(
+        jax.random.key(3), params, rank=2, train_method="xattn"
+    )
+    weights = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(11), a.shape) * 0.1
+        if a.ndim == 2 else a,
+        weights,
+    )
+    sampler = make_flowmatch_sampler(num_steps=3, mu=0.5)
+    ks = jax.random.split(jax.random.key(9), 3)
+    lat = flux_t2i.initial_packed_latents(ks[0], 2, 64, 64, latent_channels=4)
+    pooled = jax.random.normal(ks[1], (2, CFG.pooled_projection_dim))
+    t5e = jax.random.normal(ks[2], (2, 5, CFG.joint_attention_dim))
+    args = (lat, pooled, t5e, weights, jnp.asarray(0.8), 0, jnp.asarray(1.5))
+
+    ref_fn = flux_t2i.make_flux_sampling_fn(
+        CFG, sampler, latent_hw=8, compute_dtype=jnp.float32
+    )
+    pp_fn = flux_t2i.make_flux_sampling_fn(
+        CFG, sampler, latent_hw=8, compute_dtype=jnp.float32,
+        mesh=mesh, num_microbatches=2,
+    )
+    ref = ref_fn(params, *args)
+    out = pp_fn(pl.flux_pp_params(mesh, params, CFG), *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_nonuniform_lora_rejected(params, mesh):
+    weights = lnet.create_slider_network(
+        jax.random.key(3), params, rank=2, train_method="xattn"
+    )
+    weights = dict(weights)
+    weights.pop("transformer_blocks.1.attn.to_q")
+    with pytest.raises(ValueError, match="uniform"):
+        pl.stack_layer_lora(weights, "transformer_blocks", CFG.num_layers)
