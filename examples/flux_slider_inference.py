@@ -6,6 +6,12 @@ Usage:
   python examples/flux_slider_inference.py --base /path/FLUX.1-dev \
       --slider age_flux_last.safetensors --prompt 'portrait photo' \
       --scales '-4,0,4' --skip_till 2
+
+Full FLUX-dev (11.9B params, ~23 GB bf16) exceeds one v5e chip's 16 GB
+HBM; pass --pp N on an N*k-chip host to shard the block stacks by layer
+over a pipeline mesh axis (parallel/pipeline.py) — e.g. --pp 4 on a v5e-8
+leaves ~5.8 GB of transformer weights per chip:
+  python examples/flux_slider_inference.py --base ... --pp 4
 """
 
 import argparse
@@ -36,7 +42,20 @@ def main(args):
     latent_hw = args.size // 8
     seq_len = (latent_hw // 2) ** 2
     sampler = make_flowmatch_sampler(num_steps=args.steps, image_seq_len=seq_len)
-    fn = make_flux_sampling_fn(models.transformer_config, sampler, latent_hw=latent_hw)
+    mesh = None
+    transformer_params = models.transformer_params
+    if args.pp > 1:
+        from sliders_tpu.parallel import mesh as pmesh, pipeline as pl
+
+        mesh = pmesh.make_mesh(dp=1, tp=1, pp=args.pp)
+        # any pp works: stacks are identity-padded to a stage multiple
+        # (FLUX-dev's 19 double blocks are prime — pipeline.pad_stack_to_stages)
+        transformer_params = pl.flux_pp_params(
+            mesh, transformer_params, models.transformer_config
+        )
+    fn = make_flux_sampling_fn(
+        models.transformer_config, sampler, latent_hw=latent_hw, mesh=mesh,
+    )
 
     pooled, t5e = encode_prompts_flux(models, [args.prompt])
     lats = initial_packed_latents(

@@ -95,6 +95,29 @@ def stack_layer_lora(
     return out
 
 
+def pad_stack_to_stages(stacked, n_stages: int):
+    """Zero-pad a stacked layer tree to a multiple of n_stages.
+
+    FLUX-dev has 19 double blocks — a prime, so even pp stages would only
+    allow pp ∈ {1, 19}. Both FLUX block kinds use adaLN-zero gating: the
+    residual update is `x + gate * f(x)` with every gate produced by the
+    block's own modulation linear (models/flux.py _double_block /
+    _single_block), so an ALL-ZERO block is an exact identity (zero
+    modulation weight+bias -> all gates zero -> pure residual). Padding
+    with zero blocks therefore changes nothing numerically; it wastes
+    pad/n_padded of the stack's compute (1/20 for 19 -> pp=4)."""
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    pad = (-n) % n_stages
+    if pad == 0:
+        return stacked
+    return jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+        ),
+        stacked,
+    )
+
+
 def split_microbatches(tree, num_microbatches: int):
     """Leading batch dim B -> (M, B // M) on every leaf."""
     def f(a):
@@ -123,6 +146,8 @@ def pipeline_blocks(
     stacked_lora: Optional[dict] = None,
     multiplier=None,
     consts=None,
+    batch_axis: Optional[str] = None,
+    remat: bool = False,
 ):
     """Run a uniform block stack over the pp axis with GPipe microbatching.
 
@@ -133,9 +158,16 @@ def pipeline_blocks(
     stacked_lora/multiplier: optional stack_layer_lora output + traced
     slider scale (scalar only — per-sample multipliers would have to be
     microbatch-sliced; no pp caller needs them).
+    batch_axis: optionally also shard the per-microbatch batch dim (dim 1)
+    over a data axis of the same mesh — dp and pp compose in one shard_map
+    (each dp row pipelines its own batch shard; no cross-dp collectives).
     """
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no {axis!r} axis (axes: {mesh.axis_names})")
+    if batch_axis is not None and batch_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has no {batch_axis!r} axis (axes: {mesh.axis_names})"
+        )
     n_stages = mesh.shape[axis]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     if n_layers % n_stages:
@@ -154,6 +186,8 @@ def pipeline_blocks(
     )
     mult = jnp.asarray(0.0 if multiplier is None else multiplier, jnp.float32)
     consts = {} if consts is None else consts
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
 
     def local(params, lora_w, mult, consts, mbs):
         params = jax.tree.map(lambda a: a[0], params)  # (lps, ...)
@@ -174,7 +208,9 @@ def pipeline_blocks(
             return state
 
         # the scan carry must be marked pp-varying up front (its per-tick
-        # values differ by stage), or the vma check rejects the loop
+        # values differ by stage), or the vma check rejects the loop.
+        # (batch_axis variance is already inherited from the dp-sharded
+        # microbatches; pcast rejects axes that are already varying)
         def vary(a):
             return lax.pcast(a, (axis,), to="varying")
 
@@ -221,11 +257,12 @@ def pipeline_blocks(
             outputs,
         )
 
+    mb_spec = P() if batch_axis is None else P(None, batch_axis)
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(axis), P(), P(), mb_spec),
+        out_specs=mb_spec,
     )
     return f(staged_params, staged_lora, mult, consts, microbatches)
 
@@ -249,6 +286,8 @@ def flux_apply_pp(
     lora: Optional[SliderLora] = None,
     axis: str = PIPE_AXIS,
     num_microbatches: int = 1,
+    batch_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """models/flux.apply with both block stacks pipeline-parallel over pp.
 
@@ -266,11 +305,15 @@ def flux_apply_pp(
     cos, sin = flux.rope_tables(ids, cfg)
     consts = {"cos": cos, "sin": sin}
 
+    n_stages = mesh.shape[axis]
     stacked_d = params["transformer_blocks"]
     stacked_s = params["single_transformer_blocks"]
     if isinstance(stacked_d, dict) and "0" in stacked_d:  # unstacked tree
         stacked_d = stack_layer_params(stacked_d, cfg.num_layers)
         stacked_s = stack_layer_params(stacked_s, cfg.num_single_layers)
+    # identity (zero-block) padding to a stage multiple — see pad_stack_to_stages
+    stacked_d = pad_stack_to_stages(stacked_d, n_stages)
+    stacked_s = pad_stack_to_stages(stacked_s, n_stages)
     lora_d = lora_s = None
     mult = None
     if lora is not None:
@@ -279,6 +322,11 @@ def flux_apply_pp(
         lora_s = stack_layer_lora(
             lora.weights, "single_transformer_blocks", cfg.num_single_layers
         )
+        # zero LoRA entries on the padded identity layers (down=0 -> no-op)
+        if lora_d is not None:
+            lora_d = pad_stack_to_stages(lora_d, n_stages)
+        if lora_s is not None:
+            lora_s = pad_stack_to_stages(lora_s, n_stages)
 
     def double_fn(pl, state, consts, lora):
         img, txt = flux._double_block(
@@ -293,6 +341,7 @@ def flux_apply_pp(
     out = pipeline_blocks(
         double_fn, stacked_d, mbs, mesh, axis=axis,
         stacked_lora=lora_d, multiplier=mult, consts=consts,
+        batch_axis=batch_axis, remat=remat,
     )
 
     def single_fn(pl, state, consts, lora):
@@ -309,6 +358,7 @@ def flux_apply_pp(
     out_s = pipeline_blocks(
         single_fn, stacked_s, x_mb, mesh, axis=axis,
         stacked_lora=lora_s, multiplier=mult, consts=consts,
+        batch_axis=batch_axis, remat=remat,
     )
     merged = merge_microbatches(out_s)
     img_out = merged["x"][:, txt.shape[1]:]
@@ -330,14 +380,13 @@ def flux_pp_params(mesh: Mesh, params: dict, cfg, axis: str = PIPE_AXIS) -> dict
         ("transformer_blocks", cfg.num_layers),
         ("single_transformer_blocks", cfg.num_single_layers),
     ):
-        if n % n_stages:
-            raise ValueError(f"{fam}: {n} layers not divisible by pp={n_stages}")
-        # P(axis) on the (n_layers, ...) leading dim IS the per-stage layout
+        # identity-pad to a stage multiple (FLUX-dev's 19 double blocks are
+        # prime — see pad_stack_to_stages), then P(axis) on the padded
+        # (n_layers, ...) leading dim IS the per-stage layout
         # pipeline_blocks' (pp, layers_per_stage) reshape views it as
         sh = NamedSharding(mesh, P(axis))
-        out[fam] = jax.tree.map(
-            lambda a: jax.device_put(a, sh), stack_layer_params(params[fam], n)
-        )
+        stacked = pad_stack_to_stages(stack_layer_params(params[fam], n), n_stages)
+        out[fam] = jax.tree.map(lambda a: jax.device_put(a, sh), stacked)
     rep = NamedSharding(mesh, P())
     for k, v in out.items():
         if k not in ("transformer_blocks", "single_transformer_blocks"):

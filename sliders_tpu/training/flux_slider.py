@@ -42,6 +42,7 @@ def make_flux_slider_step(
     donate: bool = True,
     trainable_mask=None,
     chunk: int = 1,
+    pp_microbatches: int = 1,
 ):
     """step(state, flux_params, pairs) -> (new_state, metrics).
 
@@ -50,16 +51,33 @@ def make_flux_slider_step(
 
     pairs: stacked dict with t5 (n, L_t5, joint_dim) and pooled (n, pooled_dim)
     per prompt role + guidance_signed (n,).
+
+    When `mesh` carries a ``pp`` axis, every transformer apply routes
+    through parallel/pipeline.flux_apply_pp (layer-sharded block stacks,
+    GPipe microbatching over `pp_microbatches`) — the capacity path that
+    makes FULL FLUX-dev slider training fit a v5e-8 (its bf16 params alone
+    exceed one chip's HBM). Pass flux_params pre-placed with
+    parallel.pipeline.flux_pp_params; the slider then rides the stacked
+    LoRA branch instead of the merged-weight path (per-layer name lookups
+    cannot cross a traced stage index). dp composes: the batch shards over
+    dp inside the same shard_map.
     """
     latent_hw = resolution // 8  # VAE factor 8, then 2x2 packing
     l_img = (latent_hw // 2) * (latent_hw // 2)
     img_ids = jnp.asarray(flux.image_ids(latent_hw, latent_hw))
     n_steps = sampler.num_steps
 
+    use_pp = False
+    pp_batch_axis = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from sliders_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
+
         batch_sharding = NamedSharding(mesh, P("dp"))
+        use_pp = PIPE_AXIS in mesh.axis_names
+        if use_pp and mesh.shape[DATA_AXIS] > 1:
+            pp_batch_axis = DATA_AXIS
 
     def constrain_batch(x):
         if mesh is not None:
@@ -67,11 +85,27 @@ def make_flux_slider_step(
         return x
 
     def model(params, lora_weights, mult, x, t_norm, pooled, txt):
-        p = merge_lora_weights(params, lora_weights, mult) if mult is not None else params
         tids = jnp.asarray(flux.text_ids(txt.shape[1]))
         g = jnp.full((x.shape[0],), transformer_guidance) if cfg.guidance_embeds else None
+        tb = jnp.broadcast_to(t_norm, (x.shape[0],))
+        if use_pp:
+            from sliders_tpu.ops.basic import SliderLora
+            from sliders_tpu.parallel.pipeline import flux_apply_pp
+
+            lora = None
+            if mult is not None:
+                lora = SliderLora(
+                    weights=lora_weights,
+                    multiplier=jnp.asarray(mult, jnp.float32),
+                )
+            return flux_apply_pp(
+                params, cfg, x, tb, pooled, txt, tids, img_ids, mesh,
+                guidance=g, lora=lora, num_microbatches=pp_microbatches,
+                batch_axis=pp_batch_axis, remat=remat,
+            )
+        p = merge_lora_weights(params, lora_weights, mult) if mult is not None else params
         return flux.apply(
-            p, cfg, x, jnp.broadcast_to(t_norm, (x.shape[0],)), pooled, txt,
+            p, cfg, x, tb, pooled, txt,
             tids, img_ids, guidance=g, remat=remat,
         )
 
@@ -95,15 +129,23 @@ def make_flux_slider_step(
 
         # partial flow integration with the slider ON (Euler steps);
         # merge once OUTSIDE the loop, STATIC scan with masked updates past
-        # t_to (dynamic-trip loops pay ~55 ms/iter on this backend)
-        merged_on = jax.lax.stop_gradient(
-            merge_lora_weights(params, state.lora, 1.0)
-        )
+        # t_to (dynamic-trip loops pay ~55 ms/iter on this backend). Under
+        # pp there is nothing to merge into (stacked per-stage params) —
+        # the frozen slider rides the LoRA branch at multiplier 1 instead.
+        if use_pp:
+            dn_params = params
+            dn_lora = jax.lax.stop_gradient(state.lora)
+            dn_mult = 1.0
+        else:
+            dn_params = jax.lax.stop_gradient(
+                merge_lora_weights(params, state.lora, 1.0)
+            )
+            dn_lora, dn_mult = None, None
 
         def body(xi, i):
             t_norm = sampler.timesteps[i] / 1000.0
             v = model(
-                merged_on, None, None, xi, t_norm,
+                dn_params, dn_lora, dn_mult, xi, t_norm,
                 rep(pair["target_pooled"]), rep(pair["target_t5"]),
             )
             x_new = sampler.step(i, v, xi).astype(compute_dtype)

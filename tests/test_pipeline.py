@@ -198,6 +198,96 @@ def test_flux_sampler_pp_parity(params, mesh):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.slow
+def test_flux_train_step_pp_parity(params):
+    """FULL FLUX slider train step over a (dp=4, pp=2) mesh == the
+    unsharded step: same fold-in RNG -> identical sampled pair/t_to/noise,
+    so loss AND the LoRA update must agree. This is the capacity-axis
+    training story (full FLUX-dev doesn't fit one chip's HBM)."""
+    from sliders_tpu.diffusion.schedulers import make_flowmatch_sampler
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.flux_slider import make_flux_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState, stack_prompt_pairs
+
+    cfg = flux.TINY  # 2 double + 2 single blocks -> pp=2 stages of 1 block
+    ppmesh = pmesh.make_mesh(dp=4, tp=1, pp=2)
+    fparams = flux.init_params(jax.random.key(0), cfg)
+    lora = lnet.create_slider_network(
+        jax.random.key(1), fparams, rank=2, train_method="xattn"
+    )
+    opt = opt_factory.make_optimizer(
+        "adamw", opt_factory.make_lr_schedule("constant", 2e-4, 10),
+        trainable_mask=lnet.trainable_mask(lora),
+    )
+    sampler = make_flowmatch_sampler(num_steps=4, mu=0.5)
+    kf = jax.random.split(jax.random.key(9), 8)
+    pair = {}
+    for i, role in enumerate(("target", "positive", "neutral", "unconditional")):
+        pair[f"{role}_t5"] = jax.random.normal(kf[2 * i], (5, cfg.joint_attention_dim))
+        pair[f"{role}_pooled"] = jax.random.normal(kf[2 * i + 1], (cfg.pooled_projection_dim,))
+    pair["guidance_signed"] = jnp.asarray(1.0)
+    pairs = stack_prompt_pairs([pair])
+
+    kwargs = dict(
+        resolution=64, batch_size=4, compute_dtype=jnp.float32,
+        remat=False, donate=False,
+    )
+    pp_step = make_flux_slider_step(cfg, sampler, opt, mesh=ppmesh, **kwargs)
+    ref_step = make_flux_slider_step(cfg, sampler, opt, mesh=None, **kwargs)
+    state = SliderTrainState.create(jax.random.key(2), lora, opt)
+    ref_state = SliderTrainState.create(jax.random.key(2), lora, opt)
+    pp_params = pl.flux_pp_params(ppmesh, fparams, cfg)
+    new_pp, m_pp = pp_step(state, pp_params, pairs)
+    new_ref, m_ref = ref_step(ref_state, fparams, pairs)
+    np.testing.assert_allclose(
+        float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(new_pp.lora), jax.tree.leaves(new_ref.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_identity_padding_parity(mesh):
+    """Non-divisible layer counts (FLUX-dev's 19 double blocks are prime):
+    stacks are padded with all-zero blocks, which adaLN-zero gating makes
+    exact identities — pp output must still match the sequential apply,
+    with LoRA engaged."""
+    cfg = flux.FluxConfig(
+        in_channels=16, num_layers=3, num_single_layers=5,
+        attention_head_dim=16, num_attention_heads=2,
+        joint_attention_dim=32, pooled_projection_dim=24,
+        axes_dims_rope=(4, 6, 6),
+    )
+    p = flux.init_params(jax.random.key(0), cfg)
+    weights = lnet.create_slider_network(
+        jax.random.key(3), p, rank=2, train_method="xattn"
+    )
+    weights = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.key(11), a.shape) * 0.1
+        if a.ndim == 2 else a,
+        weights,
+    )
+    lora = SliderLora(weights=weights, multiplier=jnp.asarray(0.7))
+    ks = jax.random.split(jax.random.key(7), 4)
+    lat = jax.random.normal(ks[0], (4, 16, cfg.in_channels))
+    t = jnp.linspace(0.2, 0.9, 4)
+    pooled = jax.random.normal(ks[1], (4, cfg.pooled_projection_dim))
+    ehs = jax.random.normal(ks[2], (4, 5, cfg.joint_attention_dim))
+    g = jnp.full((4,), 1.5)
+    tids = jnp.asarray(flux.text_ids(5))
+    iids = jnp.asarray(flux.image_ids(8, 8))
+    ref = flux.apply(p, cfg, lat, t, pooled, ehs, tids, iids, guidance=g, lora=lora)
+    out = pl.flux_apply_pp(
+        pl.flux_pp_params(mesh, p, cfg), cfg, lat, t, pooled, ehs, tids,
+        iids, mesh, guidance=g, lora=lora, num_microbatches=2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # padded stack is what's resident: 3 -> 4 and 5 -> 8 over pp=4
+    pp_params = pl.flux_pp_params(mesh, p, cfg)
+    assert jax.tree.leaves(pp_params["transformer_blocks"])[0].shape[0] == 4
+    assert jax.tree.leaves(pp_params["single_transformer_blocks"])[0].shape[0] == 8
+
+
 def test_nonuniform_lora_rejected(params, mesh):
     weights = lnet.create_slider_network(
         jax.random.key(3), params, rank=2, train_method="xattn"
