@@ -55,6 +55,7 @@ def main(args):
         )
     fn = make_flux_sampling_fn(
         models.transformer_config, sampler, latent_hw=latent_hw, mesh=mesh,
+        num_microbatches=args.microbatches,
     )
 
     pooled, t5e = encode_prompts_flux(models, [args.prompt])
@@ -65,7 +66,7 @@ def main(args):
     panels = []
     for s in [float(x) for x in args.scales.split(",")]:
         packed = fn(
-            models.transformer_params, lats, pooled, t5e, weights,
+            transformer_params, lats, pooled, t5e, weights,
             jnp.asarray(s), jnp.asarray(args.skip_till), jnp.asarray(args.guidance),
         )
         lat = flux.unpack_latents(packed, latent_hw, latent_hw)
@@ -96,4 +97,9 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="flux_sweep.png")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (layer-shard the block "
+                        "stacks over a pp mesh axis; full FLUX-dev needs "
+                        "this — it exceeds one chip's HBM)")
+    p.add_argument("--microbatches", type=int, default=1)
     main(p.parse_args())

@@ -335,9 +335,14 @@ def flux_apply_pp(
         )
         return {"img": img, "txt": txt, "temb": state["temb"]}
 
-    mbs = split_microbatches(
-        {"img": img, "txt": txt, "temb": temb}, num_microbatches
-    )
+    # temb rides the microbatch state so each stage modulates its CURRENT
+    # microbatch (a stage can't know which mb it holds from consts alone),
+    # but it is invariant through every block — so the original embed-time
+    # temb serves the single-stack input and final_layer below, and XLA
+    # DCEs the unused temb deposit/psum chains.
+    mb_temb = split_microbatches({"t": temb}, num_microbatches)["t"]
+    mbs = split_microbatches({"img": img, "txt": txt}, num_microbatches)
+    mbs["temb"] = mb_temb
     out = pipeline_blocks(
         double_fn, stacked_d, mbs, mesh, axis=axis,
         stacked_lora=lora_d, multiplier=mult, consts=consts,
@@ -353,17 +358,15 @@ def flux_apply_pp(
 
     x_mb = {
         "x": jnp.concatenate([out["txt"], out["img"]], axis=2),
-        "temb": out["temb"],
+        "temb": mb_temb,
     }
     out_s = pipeline_blocks(
         single_fn, stacked_s, x_mb, mesh, axis=axis,
         stacked_lora=lora_s, multiplier=mult, consts=consts,
         batch_axis=batch_axis, remat=remat,
     )
-    merged = merge_microbatches(out_s)
-    img_out = merged["x"][:, txt.shape[1]:]
-    temb_full = merge_microbatches({"t": out["temb"]})["t"]
-    return flux.final_layer(params, img_out, temb_full)
+    img_out = merge_microbatches({"x": out_s["x"]})["x"][:, txt.shape[1]:]
+    return flux.final_layer(params, img_out, temb)
 
 
 def flux_pp_params(mesh: Mesh, params: dict, cfg, axis: str = PIPE_AXIS) -> dict:
@@ -371,8 +374,19 @@ def flux_pp_params(mesh: Mesh, params: dict, cfg, axis: str = PIPE_AXIS) -> dict
     small non-block params (embedders, norm_out, proj_out) replicate.
 
     This is the placement that makes pp a CAPACITY axis: per chip only
-    n_layers/pp of each stack is resident."""
+    (padded n_layers)/pp of each stack is resident. Each stacked leaf is
+    built DIRECTLY into its shards with jax.make_array_from_callback — no
+    device ever materializes a whole family stack (FLUX-dev's double stack
+    alone is ~half the 23 GB that motivates pp). For the full model, load
+    the source params to host (numpy — models/convert.py reads safetensors
+    that way) so the only device-resident copies are the shards themselves;
+    identity padding per pad_stack_to_stages (19 double blocks are prime).
+    """
+    import numpy as np
+
     from jax.sharding import NamedSharding
+
+    from sliders_tpu.utils import pytree
 
     n_stages = mesh.shape[axis]
     out = dict(params)
@@ -380,13 +394,28 @@ def flux_pp_params(mesh: Mesh, params: dict, cfg, axis: str = PIPE_AXIS) -> dict
         ("transformer_blocks", cfg.num_layers),
         ("single_transformer_blocks", cfg.num_single_layers),
     ):
-        # identity-pad to a stage multiple (FLUX-dev's 19 double blocks are
-        # prime — see pad_stack_to_stages), then P(axis) on the padded
-        # (n_layers, ...) leading dim IS the per-stage layout
-        # pipeline_blocks' (pp, layers_per_stage) reshape views it as
+        blocks = params[fam]
+        flats = [pytree.flatten(blocks[str(i)]) for i in range(n)]
+        n_pad = -(-n // n_stages) * n_stages
         sh = NamedSharding(mesh, P(axis))
-        stacked = pad_stack_to_stages(stack_layer_params(params[fam], n), n_stages)
-        out[fam] = jax.tree.map(lambda a: jax.device_put(a, sh), stacked)
+        stacked_flat = {}
+        for path, leaf0 in flats[0].items():
+            shape = (n_pad,) + tuple(leaf0.shape)
+            dtype = np.asarray(leaf0).dtype if not hasattr(leaf0, "dtype") else leaf0.dtype
+
+            def cb(index, _path=path, _shape=shape, _dtype=dtype):
+                sl = index[0]
+                start = sl.start or 0
+                stop = _shape[0] if sl.stop is None else sl.stop
+                rows = [
+                    np.asarray(flats[i][_path]) if i < n
+                    else np.zeros(_shape[1:], _dtype)
+                    for i in range(start, stop)
+                ]
+                return np.stack(rows)
+
+            stacked_flat[path] = jax.make_array_from_callback(shape, sh, cb)
+        out[fam] = pytree.unflatten(stacked_flat)
     rep = NamedSharding(mesh, P())
     for k, v in out.items():
         if k not in ("transformer_blocks", "single_transformer_blocks"):
