@@ -34,6 +34,15 @@ lookup the non-pp path uses cannot cross a traced stage index).
 Parity vs the sequential forward is pinned in tests/test_pipeline.py on
 the 8-virtual-device CPU mesh (fwd + LoRA grads), and the driver dryrun
 (__graft_entry__.dryrun_multichip) asserts it on every run.
+
+Scope note: only FLUX gets a pp wiring. The SD/SDXL UNet is a poor
+pipeline target by construction — its down→up skip connections would
+have to be carried across every stage boundary (each up block consumes a
+residual produced ~half the network earlier), its blocks are heterogeneous
+(stacking requires one pytree structure), and every SD/SDXL config fits a
+single chip anyway (BASELINE.md); dp/tp cover it. FLUX is the one model
+family that both needs pp (23 GB bf16 params) and is shaped for it
+(uniform residual block stacks).
 """
 
 from __future__ import annotations
