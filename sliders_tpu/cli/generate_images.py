@@ -130,7 +130,23 @@ def main(args):
 
     weights = None
     inferred_scales = list(DEFAULT_SCALES)
-    if args.model_name:
+    if getattr(args, "compose", None):
+        # multi-slider composition (lora/compose.py): each entry is
+        # 'ckpt:scale'; the swept "scale" column then acts as a global
+        # intensity multiplier on the whole composition (1 = nominal).
+        from sliders_tpu.lora.compose import compose_sliders
+
+        adapters = []
+        for entry in args.compose:
+            path, _, s = entry.rpartition(":")
+            if not path:
+                raise SystemExit(f"--compose wants CKPT:SCALE, got {entry!r}")
+            adapters.append(
+                (lora_io.load_slider(path, models.unet_params), float(s))
+            )
+        weights = compose_sliders(adapters)
+        inferred_scales = [0.0, 1.0]  # base vs composed, unless --scales
+    elif args.model_name:
         weights = lora_io.load_slider(args.model_name, models.unet_params)
         meta_path = args.model_name.rsplit("_", 1)[0] + "_metadata.json"
         if os.path.exists(meta_path):
@@ -162,9 +178,17 @@ def main(args):
         is_xl=models.is_xl,
     )
 
-    name = (
-        os.path.basename(args.model_name or "base").replace(".pt", "").replace(".safetensors", "")
-    )
+    if getattr(args, "compose", None):
+        name = "compose_" + "+".join(
+            os.path.basename(e.rpartition(":")[0])
+            .replace(".pt", "")
+            .replace(".safetensors", "")
+            for e in args.compose
+        )
+    else:
+        name = (
+            os.path.basename(args.model_name or "base").replace(".pt", "").replace(".safetensors", "")
+        )
     folder_path = os.path.join(args.save_path, name)
     os.makedirs(os.path.join(folder_path, "all"), exist_ok=True)
     scale_strs = [str(s).replace("0.5", "half").rstrip("0").rstrip(".") if "." in str(s) else str(s) for s in scales]
@@ -251,6 +275,12 @@ def main(args):
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", default=None, help="slider checkpoint (.pt/.safetensors); omit for base model")
+    p.add_argument(
+        "--compose", action="append", default=None, metavar="CKPT:SCALE",
+        help="compose multiple sliders (repeatable): each checkpoint at its "
+        "own signed scale, swept scales multiply the whole composition "
+        "(default sweep 0,1 = base vs composed)",
+    )
     p.add_argument("--prompts_path", required=True, help="csv with case_number,prompt,evaluation_seed")
     p.add_argument("--save_path", required=True)
     p.add_argument("--base", required=True, help="local model snapshot dir")

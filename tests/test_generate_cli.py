@@ -81,3 +81,59 @@ def test_generate_images_cli(snapshot, tmp_path):
     df = clip_scores(str(run_dir), "old person", str(csv), cparams, v_cfg, t_cfg, FakeTok())
     assert {"clip_-1", "clip_0", "clip_1"} <= set(df.columns)
     assert df["clip_0"].notna().all()
+
+
+def test_generate_images_cli_compose(snapshot, tmp_path):
+    """--compose CKPT:SCALE (repeatable): sweep gates the whole composition.
+
+    Output must match the single-slider path run with the pre-composed
+    adapter — and the composed run's scale-1 images must differ from scale-0
+    (the sliders actually engage through the CLI plumbing)."""
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_tpu.cli.generate_images import build_parser, main
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+
+    models = loader.load_sd(snapshot, dtype=jnp.float32)
+    paths = []
+    for i, (rank, method) in enumerate([(4, "noxattn"), (2, "selfattn")]):
+        w = lnet.create_slider_network(
+            jax.random.key(10 + i), models.unet_params, rank=rank,
+            train_method=method,
+        )
+        w = {m: {**e, "up": e["up"] + 0.3} for m, e in w.items()}
+        p = str(tmp_path / f"slider{i}.safetensors")
+        lora_io.save_slider(p, w)
+        paths.append(p)
+
+    csv = tmp_path / "prompts.csv"
+    pd.DataFrame(
+        {"case_number": [0], "prompt": ["photo"], "evaluation_seed": [7]}
+    ).to_csv(csv, index=False)
+
+    out = tmp_path / "runs"
+    args = build_parser().parse_args(
+        [
+            "--base", snapshot,
+            "--prompts_path", str(csv),
+            "--save_path", str(out),
+            "--compose", f"{paths[0]}:1.5",
+            "--compose", f"{paths[1]}:-0.5",
+            "--ddim_steps", "3",
+            "--image_size", "64",
+            "--precision", "float32",
+            "--start_noise", "1000",
+        ]
+    )
+    main(args)
+
+    run_dir = out / "compose_slider0+slider1"
+    from PIL import Image
+
+    base_img = np.asarray(Image.open(run_dir / "0" / "0_0.png"))
+    comp_img = np.asarray(Image.open(run_dir / "1" / "0_0.png"))
+    assert (base_img != comp_img).any()
