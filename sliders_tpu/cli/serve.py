@@ -1,0 +1,80 @@
+"""Serve sliders over HTTP: warm compiled sampler + hot-swappable LoRAs.
+
+No reference equivalent (its inference surface is batch scripts/notebooks;
+the gradio demo lives in a separate HF space repo). See
+sliders_tpu/serving/server.py for the API and the TPU-first design notes.
+
+  python -m sliders_tpu.cli.serve --base /path/sd15 \
+      --slider age=out/age_last.safetensors --port 8000
+  curl -s localhost:8000/healthz
+  curl -s -X POST localhost:8000/generate -d \
+      '{"prompt": "photo of a person", "slider": "age", "scales": [-2,0,2]}'
+"""
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", required=True, help="local model snapshot dir")
+    p.add_argument("--xl", action="store_true")
+    p.add_argument("--v2", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--scheduler", default="ddim", choices=["ddim", "ddpm", "lms", "euler_a"])
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--start_noise", type=float, default=750.0)
+    p.add_argument("--precision", default="bfloat16")
+    p.add_argument(
+        "--slider", action="append", default=[], metavar="NAME=CKPT",
+        help="preload a slider checkpoint under NAME (repeatable)",
+    )
+    p.add_argument("--no_warmup", action="store_true", help="skip compile warmup")
+    return p
+
+
+def main(args):
+    import jax.numpy as jnp
+
+    from sliders_tpu.models import loader
+    from sliders_tpu.serving.server import SliderEngine, make_http_server
+
+    dtype = jnp.bfloat16 if args.precision in ("bf16", "bfloat16") else jnp.float32
+    if args.xl:
+        models = loader.load_sdxl(args.base, dtype=dtype, load_vae=True)
+    else:
+        models = loader.load_sd(args.base, v2=args.v2, dtype=dtype, load_vae=True)
+
+    engine = SliderEngine(
+        models,
+        scheduler=args.scheduler,
+        steps=args.ddim_steps,
+        image_size=args.image_size,
+        guidance_scale=args.guidance_scale,
+        start_noise=args.start_noise,
+        compute_dtype=dtype,
+    )
+    for spec in args.slider:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--slider wants NAME=CKPT, got {spec!r}")
+        engine.load_slider(name, path)
+        print(f"loaded slider {name!r} from {path}")
+
+    if not args.no_warmup:
+        print("warmup compile...")
+        engine.warmup(with_slider=next(iter(engine.sliders), None))
+        print("warm.")
+
+    server = make_http_server(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

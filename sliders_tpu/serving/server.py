@@ -1,0 +1,308 @@
+"""Slider serving: a warm, compiled sampler behind a small HTTP API.
+
+The reference has no serving story — its inference surface is batch eval
+scripts and notebooks (eval-scripts/generate_images_sd1.py, the gradio
+space is a separate HF repo). For production slider serving on TPU the
+design constraints are different from a CUDA script:
+
+  - Compilation is the expensive event (minutes through a remote-compile
+    tunnel, CLAUDE.md), so the server keeps ONE jitted sampling program warm
+    and shapes every request to hit it. LoRA weights are *inputs* to the
+    jitted fn, so swapping sliders — or re-scaling a composition
+    (lora/compose.py) — never recompiles as long as the adapter's pytree
+    structure (module set + ranks) matches one already compiled; a new
+    structure compiles once and is cached by jax.jit alongside the others.
+  - The scale sweep IS the batch dimension: a request for k scales runs one
+    batched denoise, padded up to a fixed bucket size (powers of two) so k=3
+    and k=4 share an executable.
+  - One process owns the TPU and requests serialize through a lock (two
+    concurrent jitted calls would interleave dispatch, not parallelize).
+
+Endpoints (JSON in, JSON out; images as base64 PNG):
+  GET  /healthz            -> {ok, is_xl, image_size, steps, sliders: [...]}
+  POST /sliders            -> {name, path} or {name, compose: [{path, scale}]}
+  POST /generate           -> {prompt, seed?, slider?, scales?, start_noise?,
+                               negative_prompt?, guidance_scale?}
+                           -> {images: {"<scale>": b64png}, latency_ms}
+
+Run it: python -m sliders_tpu.cli.serve --base <snapshot> [--xl] [--port N]
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+
+_SCALE_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _bucket(n: int) -> int:
+    for b in _SCALE_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"at most {_SCALE_BUCKETS[-1]} scales per request, got {n}")
+
+
+class SliderEngine:
+    """Owns the models, the registry of loaded sliders, and the compiled
+    sampler. Thread-safe: all device work happens under one lock."""
+
+    def __init__(
+        self,
+        models,
+        *,
+        scheduler: str = "ddim",
+        steps: int = 50,
+        image_size: int = 512,
+        guidance_scale: float = 7.5,
+        start_noise: float = 750.0,
+        compute_dtype=None,
+    ):
+        import jax.numpy as jnp
+
+        from sliders_tpu.diffusion import make_sampler, make_schedule
+        from sliders_tpu.pipelines import text2image as t2i
+
+        if models.vae_params is None:
+            raise ValueError("serving needs the VAE (load with load_vae=True)")
+        self.models = models
+        self.image_size = int(image_size)
+        self.steps = int(steps)
+        self.default_guidance = float(guidance_scale)
+        self.default_start_noise = float(start_noise)
+        self.dtype = compute_dtype if compute_dtype is not None else jnp.bfloat16
+        self.sampler = make_sampler(make_schedule(), scheduler, num_steps=self.steps)
+        self.fn = t2i.make_sampling_fn(
+            models.unet_config,
+            self.sampler,
+            use_cfg=True,
+            guidance_rescale=0.7 if models.is_xl else 0.0,
+            compute_dtype=self.dtype,
+            is_xl=models.is_xl,
+        )
+        self.sliders: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._uncond_cache: dict[str, tuple] = {}
+
+    # -- registry ---------------------------------------------------------
+
+    def load_slider(self, name: str, path: str) -> None:
+        from sliders_tpu.lora import io as lora_io
+
+        weights = lora_io.load_slider(path, self.models.unet_params)
+        with self._lock:
+            self.sliders[name] = weights
+
+    def load_composition(self, name: str, parts: list) -> None:
+        """parts: [{"path": ... or "name": <loaded slider>, "scale": s}]"""
+        from sliders_tpu.lora import io as lora_io
+        from sliders_tpu.lora.compose import compose_sliders
+
+        adapters = []
+        for part in parts:
+            if "name" in part:
+                with self._lock:
+                    w = self.sliders[part["name"]]
+            else:
+                w = lora_io.load_slider(part["path"], self.models.unet_params)
+            adapters.append((w, float(part.get("scale", 1.0))))
+        composed = compose_sliders(adapters)
+        with self._lock:
+            self.sliders[name] = composed
+
+    # -- embedding --------------------------------------------------------
+
+    def _encode(self, prompt: str, negative: str):
+        from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
+
+        m = self.models
+        if m.is_xl:
+            toks = [te.tokenizer for te in m.text_encoders]
+            ps = [te.params for te in m.text_encoders]
+            cs = [te.config for te in m.text_encoders]
+            cond, pooled_c = encode_prompts_xl(toks, ps, cs, [prompt])
+            uncond, pooled_u = encode_prompts_xl(toks, ps, cs, [negative])
+            return cond, uncond, (pooled_c, pooled_u)
+        te = m.text_encoders[0]
+        cond = encode_prompts(
+            te.tokenizer, te.params, te.config, [prompt], num_layers=te.clip_skip_layers
+        )
+        uncond = encode_prompts(
+            te.tokenizer, te.params, te.config, [negative], num_layers=te.clip_skip_layers
+        )
+        return cond, uncond, None
+
+    # -- generation -------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: str,
+        *,
+        seed: int = 0,
+        slider: Optional[str] = None,
+        scales: Optional[list] = None,
+        start_noise: Optional[float] = None,
+        negative_prompt: str = "",
+        guidance_scale: Optional[float] = None,
+    ) -> dict:
+        """Returns {scale_str: PNG bytes} for one prompt across scales."""
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_tpu.pipelines import text2image as t2i
+
+        m = self.models
+        scales = [float(s) for s in (scales if scales is not None else [0.0])]
+        weights = None
+        if slider is not None:
+            with self._lock:
+                if slider not in self.sliders:
+                    raise KeyError(f"slider {slider!r} not loaded")
+                weights = self.sliders[slider]
+        n = len(scales)
+        nb = _bucket(n)
+        # pad the sweep to the bucket so every k <= bucket reuses one program
+        scale_vec = jnp.asarray(scales + [0.0] * (nb - n), jnp.float32)
+
+        with self._lock:
+            cond, uncond, pooled = self._encode(prompt, negative_prompt)
+            lats = jnp.tile(
+                t2i.initial_latents(
+                    jax.random.key(int(seed)), 1, self.image_size, self.image_size,
+                    self.sampler.init_noise_sigma,
+                ),
+                (nb, 1, 1, 1),
+            )
+            added = None
+            if m.is_xl:
+                pooled_c, pooled_u = pooled
+                tid = t2i.get_add_time_ids(self.image_size, self.image_size)
+                added = {
+                    "text_embeds": jnp.tile(pooled_c, (nb, 1)),
+                    "time_ids": jnp.tile(tid, (nb, 1)),
+                    "uncond_text_embeds": jnp.tile(pooled_u, (nb, 1)),
+                    "uncond_time_ids": jnp.tile(tid, (nb, 1)),
+                }
+            x = self.fn(
+                m.unet_params,
+                lats,
+                jnp.tile(cond, (nb, 1, 1)),
+                jnp.tile(uncond, (nb, 1, 1)),
+                weights,
+                scale_vec,
+                jnp.asarray(
+                    self.default_start_noise if start_noise is None else float(start_noise)
+                ),
+                jnp.asarray(
+                    self.default_guidance if guidance_scale is None else float(guidance_scale)
+                ),
+                jax.random.key(int(seed)),
+                added,
+            )
+            imgs = np.asarray(t2i.decode_images(m.vae_params, m.vae_config, x))
+
+        from PIL import Image
+
+        out = {}
+        for i, s in enumerate(scales):
+            buf = io.BytesIO()
+            Image.fromarray(imgs[i]).save(buf, format="PNG")
+            out[str(s)] = buf.getvalue()
+        return out
+
+    def warmup(self, with_slider: Optional[str] = None, n_scales: int = 5) -> None:
+        """Compile the hot program before serving traffic. Defaults to the
+        reference sweep size (5 scales -> bucket 8); requests with other
+        bucket sizes compile once on first hit."""
+        self.generate("warmup", seed=0, slider=with_slider,
+                      scales=[0.0] * n_scales)
+
+
+# -- HTTP layer -----------------------------------------------------------
+
+
+def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 8000):
+    """ThreadingHTTPServer over the engine (stdlib only). Handlers validate
+    JSON and call the engine; device work serializes on the engine lock."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length) if length else b"{}"
+            return json.loads(raw)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(
+                    200,
+                    {
+                        "ok": True,
+                        "is_xl": engine.models.is_xl,
+                        "image_size": engine.image_size,
+                        "steps": engine.steps,
+                        "sliders": sorted(engine.sliders),
+                    },
+                )
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                req = self._read_json()
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": f"bad json: {e}"})
+            try:
+                if self.path == "/sliders":
+                    name = req["name"]
+                    if "compose" in req:
+                        engine.load_composition(name, req["compose"])
+                    else:
+                        engine.load_slider(name, req["path"])
+                    return self._send(200, {"ok": True, "name": name})
+                if self.path == "/generate":
+                    t0 = time.perf_counter()
+                    imgs = engine.generate(
+                        req["prompt"],
+                        seed=req.get("seed", 0),
+                        slider=req.get("slider"),
+                        scales=req.get("scales"),
+                        start_noise=req.get("start_noise"),
+                        negative_prompt=req.get("negative_prompt", ""),
+                        guidance_scale=req.get("guidance_scale"),
+                    )
+                    return self._send(
+                        200,
+                        {
+                            "images": {
+                                k: base64.b64encode(v).decode() for k, v in imgs.items()
+                            },
+                            "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                        },
+                    )
+                return self._send(404, {"error": f"no route {self.path}"})
+            except KeyError as e:
+                return self._send(404 if self.path == "/generate" else 400,
+                                  {"error": f"missing/unknown: {e}"})
+            except (ValueError, OSError) as e:
+                return self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,138 @@
+"""Serving subsystem e2e: warm engine + HTTP API on the tiny snapshot.
+
+Pins the central serving claim: hot-swapping sliders with the same adapter
+structure reuses the compiled program (no retrace), and scale sweeps pad to
+buckets so request sizes k <= bucket share one executable."""
+
+import base64
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from helpers import make_tiny_snapshot
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+    from sliders_tpu.serving.server import SliderEngine, make_http_server
+
+    root = tmp_path_factory.mktemp("serve")
+    snap = make_tiny_snapshot(str(root / "sd_tiny"))
+    models = loader.load_sd(snap, dtype=jnp.float32, load_vae=True)
+
+    ckpts = []
+    for i in range(2):
+        w = lnet.create_slider_network(
+            jax.random.key(20 + i), models.unet_params, rank=2, train_method="noxattn"
+        )
+        w = {m: {**e, "up": e["up"] + (0.4 if i == 0 else -0.4)} for m, e in w.items()}
+        p = str(root / f"s{i}.safetensors")
+        lora_io.save_slider(p, w)
+        ckpts.append(p)
+
+    engine = SliderEngine(
+        models, steps=3, image_size=64, compute_dtype=jnp.float32,
+        start_noise=1000.0,
+    )
+    server = make_http_server(engine, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield engine, server.server_address[1], ckpts
+    server.shutdown()
+
+
+def _req(port, method, path, payload=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    body = json.dumps(payload) if payload is not None else None
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_health_load_generate_and_hot_swap(served):
+    engine, port, ckpts = served
+
+    status, health = _req(port, "GET", "/healthz")
+    assert status == 200 and health["ok"] and health["sliders"] == []
+
+    status, _ = _req(port, "POST", "/sliders", {"name": "age", "path": ckpts[0]})
+    assert status == 200
+
+    status, out = _req(
+        port, "POST", "/generate",
+        {"prompt": "photo", "seed": 5, "slider": "age", "scales": [-1, 0, 1]},
+    )
+    assert status == 200
+    assert set(out["images"]) == {"-1.0", "0.0", "1.0"}
+    from PIL import Image
+
+    imgs = {
+        k: np.asarray(Image.open(io.BytesIO(base64.b64decode(v))))
+        for k, v in out["images"].items()
+    }
+    assert imgs["0.0"].shape == (16, 16, 3)
+    assert (imgs["-1.0"] != imgs["1.0"]).any()
+
+    # hot swap: same adapter structure + same scale bucket -> no recompile
+    n_before = engine.fn._cache_size()
+    status, _ = _req(port, "POST", "/sliders", {"name": "smile", "path": ckpts[1]})
+    assert status == 200
+    status, out2 = _req(
+        port, "POST", "/generate",
+        {"prompt": "photo", "seed": 5, "slider": "smile", "scales": [0, 0.5, 1]},
+    )
+    assert status == 200
+    assert engine.fn._cache_size() == n_before
+    img2 = np.asarray(
+        Image.open(io.BytesIO(base64.b64decode(out2["images"]["1.0"])))
+    )
+    assert (img2 != imgs["1.0"]).any()  # different slider, different output
+
+
+def test_composition_and_errors(served):
+    engine, port, ckpts = served
+
+    _req(port, "POST", "/sliders", {"name": "age", "path": ckpts[0]})
+    status, _ = _req(
+        port, "POST", "/sliders",
+        {"name": "both", "compose": [{"name": "age", "scale": 1.5},
+                                     {"path": ckpts[1], "scale": -0.5}]},
+    )
+    assert status == 200
+    status, out = _req(
+        port, "POST", "/generate",
+        {"prompt": "photo", "slider": "both", "scales": [0, 1]},
+    )
+    assert status == 200 and "1.0" in out["images"]
+
+    status, err = _req(port, "POST", "/generate", {"prompt": "x", "slider": "nope"})
+    assert status == 404 and "nope" in err["error"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/generate", body=b"{not json")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+    status, _ = _req(port, "GET", "/nothere")
+    assert status == 404
+
+    # too many scales is a clean 400, not a compile
+    status, err = _req(
+        port, "POST", "/generate", {"prompt": "x", "scales": list(range(20))}
+    )
+    assert status == 400 and "at most" in err["error"]
