@@ -115,7 +115,6 @@ def main(args):
     from sliders_tpu.lora import io as lora_io
     from sliders_tpu.models import loader
     from sliders_tpu.pipelines import text2image as t2i
-    from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
 
     import pandas as pd
 
@@ -136,14 +135,21 @@ def main(args):
         # intensity multiplier on the whole composition (1 = nominal).
         from sliders_tpu.lora.compose import compose_sliders
 
+        if args.model_name:
+            raise SystemExit(
+                "--compose and --model_name conflict; fold the named slider "
+                "into the composition as another --compose CKPT:SCALE entry"
+            )
         adapters = []
         for entry in args.compose:
             path, _, s = entry.rpartition(":")
+            try:
+                s = float(s)
+            except ValueError:
+                path = ""
             if not path:
                 raise SystemExit(f"--compose wants CKPT:SCALE, got {entry!r}")
-            adapters.append(
-                (lora_io.load_slider(path, models.unet_params), float(s))
-            )
+            adapters.append((lora_io.load_slider(path, models.unet_params), s))
         weights = compose_sliders(adapters)
         inferred_scales = [0.0, 1.0]  # base vs composed, unless --scales
     elif args.model_name:
@@ -179,10 +185,13 @@ def main(args):
     )
 
     if getattr(args, "compose", None):
+        # encode the per-adapter scales too: re-running with different scales
+        # must land in a different folder, not overwrite the first sweep
         name = "compose_" + "+".join(
             os.path.basename(e.rpartition(":")[0])
             .replace(".pt", "")
             .replace(".safetensors", "")
+            + "_" + e.rpartition(":")[2]
             for e in args.compose
         )
     else:
@@ -208,29 +217,9 @@ def main(args):
         seed = int(row.evaluation_seed)
         print(prompt, seed)
 
-        if models.is_xl:
-            toks = [te.tokenizer for te in models.text_encoders]
-            ps = [te.params for te in models.text_encoders]
-            cs = [te.config for te in models.text_encoders]
-            cond, pooled_c = encode_prompts_xl(toks, ps, cs, [prompt])
-            uncond, pooled_u = encode_prompts_xl(toks, ps, cs, [args.negative_prompt or ""])
-            tid = t2i.get_add_time_ids(args.image_size, args.image_size)
-            added = {
-                "text_embeds": jnp.tile(pooled_c, (n_scales, 1)),
-                "time_ids": jnp.tile(tid, (n_scales, 1)),
-                "uncond_text_embeds": jnp.tile(pooled_u, (n_scales, 1)),
-                "uncond_time_ids": jnp.tile(tid, (n_scales, 1)),
-            }
-        else:
-            te = models.text_encoders[0]
-            cond = encode_prompts(
-                te.tokenizer, te.params, te.config, [prompt], num_layers=te.clip_skip_layers
-            )
-            uncond = encode_prompts(
-                te.tokenizer, te.params, te.config, [args.negative_prompt or ""],
-                num_layers=te.clip_skip_layers,
-            )
-            added = None
+        cond, uncond, added1 = t2i.encode_conditioning(
+            models, prompt, args.negative_prompt or "", args.image_size
+        )
 
         # ALL samples x ALL scales in ONE batched denoise: batch layout is
         # sample-major [(s0,scale0), (s0,scale1), ..., (s1,scale0), ...]
@@ -247,14 +236,8 @@ def main(args):
                 for i in range(args.num_samples)
             ]
         )
-        cond_b = jnp.tile(cond, (n_total, 1, 1))
-        uncond_b = jnp.tile(uncond, (n_total, 1, 1))
+        cond_b, uncond_b, added_b = t2i.tile_conditioning(cond, uncond, added1, n_total)
         scale_all = jnp.tile(scale_vec, (args.num_samples,))
-        added_b = (
-            None
-            if added is None
-            else {k: jnp.tile(v, (args.num_samples, 1)) for k, v in added.items()}
-        )
         x = fn(
             models.unet_params, lats, cond_b, uncond_b, weights,
             scale_all, jnp.asarray(float(args.start_noise)),

@@ -143,6 +143,48 @@ def decode_images(vae_params, vae_cfg: vae.VaeConfig, latents) -> jnp.ndarray:
     return (imgs * 255).astype(jnp.uint8)
 
 
+def encode_conditioning(models, prompt: str, negative: str, image_size: int):
+    """Encode one (prompt, negative) pair into sampler conditioning: returns
+    (cond [1,77,D], uncond [1,77,D], added-cond 1-row dict or None).
+
+    Shared by cli/generate_images.py and serving/server.py so the XL
+    added-cond contract (pooled embeds + time ids, train_util.py:298-333)
+    lives in exactly one place."""
+    from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
+
+    if models.is_xl:
+        toks = [te.tokenizer for te in models.text_encoders]
+        ps = [te.params for te in models.text_encoders]
+        cs = [te.config for te in models.text_encoders]
+        cond, pooled_c = encode_prompts_xl(toks, ps, cs, [prompt])
+        uncond, pooled_u = encode_prompts_xl(toks, ps, cs, [negative])
+        tid = get_add_time_ids(image_size, image_size)
+        added = {
+            "text_embeds": pooled_c,
+            "time_ids": tid,
+            "uncond_text_embeds": pooled_u,
+            "uncond_time_ids": tid,
+        }
+        return cond, uncond, added
+    te = models.text_encoders[0]
+    cond = encode_prompts(
+        te.tokenizer, te.params, te.config, [prompt], num_layers=te.clip_skip_layers
+    )
+    uncond = encode_prompts(
+        te.tokenizer, te.params, te.config, [negative], num_layers=te.clip_skip_layers
+    )
+    return cond, uncond, None
+
+
+def tile_conditioning(cond, uncond, added, n: int):
+    """Tile 1-row conditioning from encode_conditioning to an n-row batch."""
+    return (
+        jnp.tile(cond, (n, 1, 1)),
+        jnp.tile(uncond, (n, 1, 1)),
+        None if added is None else {k: jnp.tile(v, (n, 1)) for k, v in added.items()},
+    )
+
+
 def get_add_time_ids(
     height: int,
     width: int,

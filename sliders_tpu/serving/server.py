@@ -23,7 +23,9 @@ Endpoints (JSON in, JSON out; images as base64 PNG):
   POST /sliders            -> {name, path} or {name, compose: [{path, scale}]}
   POST /generate           -> {prompt, seed?, slider?, scales?, start_noise?,
                                negative_prompt?, guidance_scale?}
-                           -> {images: {"<scale>": b64png}, latency_ms}
+                           -> {images: [{scale, png: b64}, ...], latency_ms}
+                              (ordered like the request's scales, so
+                              duplicate scales each get their own image)
 
 Run it: python -m sliders_tpu.cli.serve --base <snapshot> [--xl] [--port N]
 """
@@ -89,7 +91,11 @@ class SliderEngine:
         )
         self.sliders: dict[str, dict] = {}
         self._lock = threading.Lock()
-        self._uncond_cache: dict[str, tuple] = {}
+        # (prompt, negative) -> encoded conditioning; serving traffic mostly
+        # re-sweeps scales over a few prompts, so this skips the CLIP
+        # tokenize+encode inside the lock on repeats. FIFO-capped.
+        self._embed_cache: dict[tuple, tuple] = {}
+        self._embed_cache_cap = 32
 
     # -- registry ---------------------------------------------------------
 
@@ -107,8 +113,12 @@ class SliderEngine:
 
         adapters = []
         for part in parts:
+            if not isinstance(part, dict) or not ({"name", "path"} & set(part)):
+                raise ValueError(f"compose part needs 'name' or 'path': {part!r}")
             if "name" in part:
                 with self._lock:
+                    if part["name"] not in self.sliders:
+                        raise KeyError(f"slider {part['name']!r} not loaded")
                     w = self.sliders[part["name"]]
             else:
                 w = lora_io.load_slider(part["path"], self.models.unet_params)
@@ -120,24 +130,18 @@ class SliderEngine:
     # -- embedding --------------------------------------------------------
 
     def _encode(self, prompt: str, negative: str):
-        from sliders_tpu.pipelines.encoding import encode_prompts, encode_prompts_xl
+        """Cached encode_conditioning (pipelines/text2image.py): returns the
+        1-row (cond, uncond, added) tuple. Caller holds self._lock."""
+        from sliders_tpu.pipelines import text2image as t2i
 
-        m = self.models
-        if m.is_xl:
-            toks = [te.tokenizer for te in m.text_encoders]
-            ps = [te.params for te in m.text_encoders]
-            cs = [te.config for te in m.text_encoders]
-            cond, pooled_c = encode_prompts_xl(toks, ps, cs, [prompt])
-            uncond, pooled_u = encode_prompts_xl(toks, ps, cs, [negative])
-            return cond, uncond, (pooled_c, pooled_u)
-        te = m.text_encoders[0]
-        cond = encode_prompts(
-            te.tokenizer, te.params, te.config, [prompt], num_layers=te.clip_skip_layers
-        )
-        uncond = encode_prompts(
-            te.tokenizer, te.params, te.config, [negative], num_layers=te.clip_skip_layers
-        )
-        return cond, uncond, None
+        key = (prompt, negative)
+        hit = self._embed_cache.get(key)
+        if hit is None:
+            hit = t2i.encode_conditioning(self.models, prompt, negative, self.image_size)
+            if len(self._embed_cache) >= self._embed_cache_cap:
+                self._embed_cache.pop(next(iter(self._embed_cache)))
+            self._embed_cache[key] = hit
+        return hit
 
     # -- generation -------------------------------------------------------
 
@@ -151,8 +155,9 @@ class SliderEngine:
         start_noise: Optional[float] = None,
         negative_prompt: str = "",
         guidance_scale: Optional[float] = None,
-    ) -> dict:
-        """Returns {scale_str: PNG bytes} for one prompt across scales."""
+    ) -> list:
+        """Returns [(scale, PNG bytes), ...] for one prompt, ordered like the
+        request's scales (duplicates each get their own image)."""
         import jax
         import jax.numpy as jnp
 
@@ -172,7 +177,8 @@ class SliderEngine:
         scale_vec = jnp.asarray(scales + [0.0] * (nb - n), jnp.float32)
 
         with self._lock:
-            cond, uncond, pooled = self._encode(prompt, negative_prompt)
+            cond, uncond, added1 = self._encode(prompt, negative_prompt)
+            cond_b, uncond_b, added = t2i.tile_conditioning(cond, uncond, added1, nb)
             lats = jnp.tile(
                 t2i.initial_latents(
                     jax.random.key(int(seed)), 1, self.image_size, self.image_size,
@@ -180,21 +186,11 @@ class SliderEngine:
                 ),
                 (nb, 1, 1, 1),
             )
-            added = None
-            if m.is_xl:
-                pooled_c, pooled_u = pooled
-                tid = t2i.get_add_time_ids(self.image_size, self.image_size)
-                added = {
-                    "text_embeds": jnp.tile(pooled_c, (nb, 1)),
-                    "time_ids": jnp.tile(tid, (nb, 1)),
-                    "uncond_text_embeds": jnp.tile(pooled_u, (nb, 1)),
-                    "uncond_time_ids": jnp.tile(tid, (nb, 1)),
-                }
             x = self.fn(
                 m.unet_params,
                 lats,
-                jnp.tile(cond, (nb, 1, 1)),
-                jnp.tile(uncond, (nb, 1, 1)),
+                cond_b,
+                uncond_b,
                 weights,
                 scale_vec,
                 jnp.asarray(
@@ -210,11 +206,11 @@ class SliderEngine:
 
         from PIL import Image
 
-        out = {}
+        out = []
         for i, s in enumerate(scales):
             buf = io.BytesIO()
             Image.fromarray(imgs[i]).save(buf, format="PNG")
-            out[str(s)] = buf.getvalue()
+            out.append((s, buf.getvalue()))
         return out
 
     def warmup(self, with_slider: Optional[str] = None, n_scales: int = 5) -> None:
@@ -249,6 +245,8 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
 
         def do_GET(self):
             if self.path == "/healthz":
+                with engine._lock:  # snapshot: /sliders may mutate concurrently
+                    names = sorted(engine.sliders)
                 self._send(
                     200,
                     {
@@ -256,7 +254,7 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                         "is_xl": engine.models.is_xl,
                         "image_size": engine.image_size,
                         "steps": engine.steps,
-                        "sliders": sorted(engine.sliders),
+                        "sliders": names,
                     },
                 )
             else:
@@ -267,8 +265,17 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                 req = self._read_json()
             except (ValueError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad json: {e}"})
+            if not isinstance(req, dict):
+                return self._send(400, {"error": "body must be a JSON object"})
             try:
                 if self.path == "/sliders":
+                    missing = {"name"} - set(req)
+                    if "compose" not in req:
+                        missing |= {"path"} - set(req)
+                    if missing:
+                        return self._send(
+                            400, {"error": f"missing field(s): {sorted(missing)}"}
+                        )
                     name = req["name"]
                     if "compose" in req:
                         engine.load_composition(name, req["compose"])
@@ -276,6 +283,8 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                         engine.load_slider(name, req["path"])
                     return self._send(200, {"ok": True, "name": name})
                 if self.path == "/generate":
+                    if "prompt" not in req:
+                        return self._send(400, {"error": "missing field(s): ['prompt']"})
                     t0 = time.perf_counter()
                     imgs = engine.generate(
                         req["prompt"],
@@ -289,18 +298,22 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                     return self._send(
                         200,
                         {
-                            "images": {
-                                k: base64.b64encode(v).decode() for k, v in imgs.items()
-                            },
+                            "images": [
+                                {"scale": s, "png": base64.b64encode(png).decode()}
+                                for s, png in imgs
+                            ],
                             "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
                         },
                     )
                 return self._send(404, {"error": f"no route {self.path}"})
             except KeyError as e:
-                return self._send(404 if self.path == "/generate" else 400,
-                                  {"error": f"missing/unknown: {e}"})
-            except (ValueError, OSError) as e:
+                # fields were validated above; a KeyError from the engine
+                # means an unknown slider/composition name
+                return self._send(404, {"error": f"unknown: {e}"})
+            except (TypeError, ValueError, OSError) as e:
                 return self._send(400, {"error": str(e)})
+            except Exception as e:  # never drop the connection without a reply
+                return self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -131,7 +131,7 @@ def test_generate_images_cli_compose(snapshot, tmp_path):
     )
     main(args)
 
-    run_dir = out / "compose_slider0+slider1"
+    run_dir = out / "compose_slider0_1.5+slider1_-0.5"
     from PIL import Image
 
     base_img = np.asarray(Image.open(run_dir / "0" / "0_0.png"))

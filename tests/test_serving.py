@@ -77,15 +77,15 @@ def test_health_load_generate_and_hot_swap(served):
         {"prompt": "photo", "seed": 5, "slider": "age", "scales": [-1, 0, 1]},
     )
     assert status == 200
-    assert set(out["images"]) == {"-1.0", "0.0", "1.0"}
+    assert [e["scale"] for e in out["images"]] == [-1.0, 0.0, 1.0]
     from PIL import Image
 
     imgs = {
-        k: np.asarray(Image.open(io.BytesIO(base64.b64decode(v))))
-        for k, v in out["images"].items()
+        e["scale"]: np.asarray(Image.open(io.BytesIO(base64.b64decode(e["png"]))))
+        for e in out["images"]
     }
-    assert imgs["0.0"].shape == (16, 16, 3)
-    assert (imgs["-1.0"] != imgs["1.0"]).any()
+    assert imgs[0.0].shape == (16, 16, 3)
+    assert (imgs[-1.0] != imgs[1.0]).any()
 
     # hot swap: same adapter structure + same scale bucket -> no recompile
     n_before = engine.fn._cache_size()
@@ -98,9 +98,9 @@ def test_health_load_generate_and_hot_swap(served):
     assert status == 200
     assert engine.fn._cache_size() == n_before
     img2 = np.asarray(
-        Image.open(io.BytesIO(base64.b64decode(out2["images"]["1.0"])))
+        Image.open(io.BytesIO(base64.b64decode(out2["images"][2]["png"])))
     )
-    assert (img2 != imgs["1.0"]).any()  # different slider, different output
+    assert (img2 != imgs[1.0]).any()  # different slider, different output
 
 
 def test_composition_and_errors(served):
@@ -117,10 +117,28 @@ def test_composition_and_errors(served):
         port, "POST", "/generate",
         {"prompt": "photo", "slider": "both", "scales": [0, 1]},
     )
-    assert status == 200 and "1.0" in out["images"]
+    assert status == 200 and [e["scale"] for e in out["images"]] == [0.0, 1.0]
 
     status, err = _req(port, "POST", "/generate", {"prompt": "x", "slider": "nope"})
     assert status == 404 and "nope" in err["error"]
+
+    # duplicate scales each get their own image (ordered response)
+    status, out = _req(
+        port, "POST", "/generate", {"prompt": "photo", "scales": [1, 1.0]}
+    )
+    assert status == 200 and [e["scale"] for e in out["images"]] == [1.0, 1.0]
+
+    # malformed field types are a clean 400, not a dropped connection
+    status, err = _req(port, "POST", "/generate", {"prompt": "x", "scales": 5})
+    assert status == 400
+    status, err = _req(port, "POST", "/generate", {"prompt": "x", "scales": [None]})
+    assert status == 400
+
+    # missing required fields are 400 (not 404: that's for unknown sliders)
+    status, err = _req(port, "POST", "/generate", {})
+    assert status == 400 and "prompt" in err["error"]
+    status, err = _req(port, "POST", "/sliders", {"name": "x"})
+    assert status == 400 and "path" in err["error"]
 
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("POST", "/generate", body=b"{not json")
