@@ -89,7 +89,7 @@ def build_parser():
         help="attributes to disentangle (comma separated string)",
     )
     parser.add_argument("--xl", action="store_true", help="Train on SDXL.")
-    parser.add_argument("--resume", type=str, default=None, help="Train-state msgpack to resume.")
+    parser.add_argument("--resume", type=str, default=None, help="Train state to resume: msgpack file (single-host) or orbax dir (mesh runs, reshards onto this run's mesh).")
     return parser
 
 

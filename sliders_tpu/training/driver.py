@@ -212,8 +212,20 @@ def train_text_sliders(
 
     state = SliderTrainState.create(jax.random.key(seed), lora, optimizer)
     if resume_from is not None:
-        with open(resume_from, "rb") as f:
-            state = _state_from_bytes(state, f.read())
+        if Path(resume_from).is_dir():  # orbax sharded checkpoint
+            from sliders_tpu.training import checkpoint as sharded_ckpt
+
+            if mesh is not None:
+                # target placement first: orbax then reshards each array
+                # straight onto this run's mesh (which may differ from the
+                # mesh the checkpoint was written on)
+                from sliders_tpu.parallel.mesh import replicate
+
+                state = replicate(mesh, state)
+            state = sharded_ckpt.restore_sharded(resume_from, state)
+        else:
+            with open(resume_from, "rb") as f:
+                state = _state_from_bytes(state, f.read())
         print(f"resumed from {resume_from} at step {int(state.step)}")
 
     metadata = {
@@ -306,8 +318,17 @@ def train_text_sliders(
                 )
 
             if tpu.state_checkpoint_every and sj % tpu.state_checkpoint_every == 0 and sj != 0:
-                with open(save_dir / f"{config.save.name}_trainstate.msgpack", "wb") as f:
-                    f.write(_state_bytes(state))
+                if mesh is not None:
+                    # sharded save: each process writes only its own shards
+                    # (training/checkpoint.py); resumable on a different mesh
+                    from sliders_tpu.training import checkpoint as sharded_ckpt
+
+                    sharded_ckpt.save_sharded(
+                        str(save_dir / f"{config.save.name}_trainstate.orbax"), state
+                    )
+                else:
+                    with open(save_dir / f"{config.save.name}_trainstate.msgpack", "wb") as f:
+                        f.write(_state_bytes(state))
         i += n
 
     if tpu.profile_dir:
