@@ -178,10 +178,21 @@ def main(args):
     schedule = make_schedule()
     sampler = make_sampler(schedule, args.scheduler, args.ddim_steps)
     use_cfg = args.guidance_scale > 1.0
+    mesh = None
+    n_dp = 1
+    if args.dp != 1:
+        # data-parallel sweep: rows of the (samples x scales) batch spread
+        # over the dp mesh axis; the batch is padded up to a dp multiple
+        # and the padding sliced off after decode
+        from sliders_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=args.dp)
+        n_dp = mesh.shape["dp"]
+        print(f"data-parallel sweep over {n_dp} devices")
     fn = t2i.make_sampling_fn(
         models.unet_config, sampler, use_cfg=use_cfg,
         guidance_rescale=0.7 if args.xl else 0.0, compute_dtype=dtype,
-        is_xl=models.is_xl,
+        is_xl=models.is_xl, mesh=mesh,
     )
 
     if getattr(args, "compose", None):
@@ -224,6 +235,7 @@ def main(args):
         # ALL samples x ALL scales in ONE batched denoise: batch layout is
         # sample-major [(s0,scale0), (s0,scale1), ..., (s1,scale0), ...]
         n_total = args.num_samples * n_scales
+        pad = (-n_total) % n_dp  # dp wants equal rows per device
         lats = jnp.concatenate(
             [
                 jnp.tile(
@@ -236,14 +248,20 @@ def main(args):
                 for i in range(args.num_samples)
             ]
         )
-        cond_b, uncond_b, added_b = t2i.tile_conditioning(cond, uncond, added1, n_total)
         scale_all = jnp.tile(scale_vec, (args.num_samples,))
+        if pad:
+            # wrap-index: pad may exceed n_total (e.g. 3 rows on 8 devices)
+            lats = jnp.concatenate([lats, lats[jnp.arange(pad) % n_total]])
+            scale_all = jnp.concatenate([scale_all, jnp.zeros((pad,), scale_all.dtype)])
+        cond_b, uncond_b, added_b = t2i.tile_conditioning(
+            cond, uncond, added1, n_total + pad
+        )
         x = fn(
             models.unet_params, lats, cond_b, uncond_b, weights,
             scale_all, jnp.asarray(float(args.start_noise)),
             jnp.asarray(float(args.guidance_scale)), jax.random.key(seed),
             added_b,
-        )
+        )[:n_total]
         imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
         for i in range(args.num_samples):
             pil = [Image.fromarray(imgs[i * n_scales + j]) for j in range(n_scales)]
@@ -263,6 +281,11 @@ def build_parser():
         help="compose multiple sliders (repeatable): each checkpoint at its "
         "own signed scale, swept scales multiply the whole composition "
         "(default sweep 0,1 = base vs composed)",
+    )
+    p.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel devices for the sweep batch (-1 = all devices; "
+        "1 disables)",
     )
     p.add_argument("--prompts_path", required=True, help="csv with case_number,prompt,evaluation_seed")
     p.add_argument("--save_path", required=True)

@@ -36,6 +36,7 @@ def make_sampling_fn(
     guidance_rescale: float = 0.0,
     compute_dtype=jnp.bfloat16,
     is_xl: bool = False,
+    mesh=None,
 ):
     """Build a jitted sampling fn:
 
@@ -46,6 +47,13 @@ def make_sampling_fn(
     - `lora_weights` may be None (no slider)
     - `start_noise`: slider is OFF while t > start_noise
       (generate_images_xl.py:325-328; -1 keeps it always off, 1000 always on)
+    - `mesh`: optional dp mesh — the sweep batch (latents / embeddings /
+      scale vector / added conds) is row-sharded over the ``dp`` axis and
+      params are replicated, so a 500-prompt eval sweep scales across
+      chips (SURVEY.md §7.1 "scale sweeps batched across the mesh"). The
+      batch must be a multiple of the dp size, `slider_scale` must be a
+      batch vector, and all 10 args must be passed (in_shardings are
+      positional).
     """
     needs_step_key = sampler.kind in ("ddpm", "euler_a")
     n = sampler.num_steps
@@ -122,7 +130,23 @@ def make_sampling_fn(
         )
         return x
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from sliders_tpu.parallel.mesh import DATA_AXIS
+
+    batch = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        # (params, latents, cond, uncond, lora, scale_vec, start_noise,
+        #  guidance, key, added) — batch-major rows over dp, rest replicated
+        in_shardings=(repl, batch, batch, batch, repl, batch, repl, repl, repl, batch),
+        out_shardings=batch,
+    )
 
 
 def initial_latents(key, batch, height, width, init_noise_sigma, channels=4, n_prompts=1):

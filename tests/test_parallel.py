@@ -212,3 +212,50 @@ def test_entry_lowers_without_materializing():
     t = jax.ShapeDtypeStruct((2,), jnp.float32)
     ehs = jax.ShapeDtypeStruct((2, 77, 768), jnp.bfloat16)
     jax.jit(lambda p, x, t, e: unet2d.apply(p, cfg, x, t, e)).lower(pshapes, lat, t, ehs)
+
+
+def test_dp_sampling_sweep_matches_single_device():
+    """The eval sweep sampler with a dp mesh (make_sampling_fn(mesh=...))
+    must match the single-device sweep row for row — the multi-chip path
+    for the 500-prompt eval harness (SURVEY.md §7.1 'scale sweeps batched
+    across the mesh')."""
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.pipelines import text2image as t2i
+
+    cfg = unet2d.TINY
+    params = unet2d.init_params(jax.random.key(0), cfg)
+    lora = lnet.create_slider_network(
+        jax.random.key(1), params, rank=2, train_method="noxattn"
+    )
+    lora = {m: {**e, "up": e["up"] + 0.2} for m, e in lora.items()}
+    sampler = make_sampler(make_schedule(), "ddim", num_steps=3)
+
+    lats = t2i.initial_latents(
+        jax.random.key(5), 1, 64, 64, sampler.init_noise_sigma
+    )
+    lats = jnp.tile(lats, (8, 1, 1, 1))
+    cond = jnp.tile(
+        jax.random.normal(jax.random.key(6), (1, 7, cfg.cross_attention_dim)), (8, 1, 1)
+    )
+    uncond = jnp.tile(
+        jax.random.normal(jax.random.key(7), (1, 7, cfg.cross_attention_dim)), (8, 1, 1)
+    )
+    scales = jnp.asarray([-2.0, -1.0, 0.0, 1.0, 2.0, 0.5, -0.5, 3.0])
+    sn = jnp.asarray(1000.0)
+    g = jnp.asarray(7.5)
+    key = jax.random.key(9)
+
+    fn1 = t2i.make_sampling_fn(cfg, sampler, compute_dtype=jnp.float32)
+    out1 = fn1(params, lats, cond, uncond, lora, scales, sn, g, key, None)
+
+    fn8 = t2i.make_sampling_fn(
+        cfg, sampler, compute_dtype=jnp.float32, mesh=pmesh.make_mesh(dp=8)
+    )
+    out8 = fn8(params, lats, cond, uncond, lora, scales, sn, g, key, None)
+
+    assert out8.sharding.spec == jax.sharding.PartitionSpec("dp")
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-4)
+    # rows really differ across scales (the sweep is live, not degenerate)
+    assert np.abs(np.asarray(out1)[0] - np.asarray(out1)[4]).max() > 1e-4
