@@ -608,6 +608,105 @@ def main_image():
     print(steps_line("sd15_image_slider_train_steps_per_sec_chip", value))
 
 
+def main_serve():
+    """Serving latency: a warm HTTP /generate request through the FULL stack
+    (JSON parse -> cached prompt encode -> 5-scale batched 50-step denoise
+    at 512px -> VAE decode -> PNG -> base64), serving/server.py. The 5-scale
+    sweep is the reference eval protocol (generate_images_sd1.py scales
+    [-2..2]); it pads to the 8-bucket, so this is the executable the server
+    keeps warm. Random full-size weights are compute-equivalent."""
+    import os
+    import tempfile
+    import threading
+
+    import numpy as np
+
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import clip_text, unet2d, vae
+    from sliders_tpu.models.loader import SDModels, TextEncoderBundle
+    from sliders_tpu.serving.server import SliderEngine, make_http_server
+    from sliders_tpu.text.tokenizer import ClipTokenizer
+
+    tok_dir = os.path.join(tempfile.gettempdir(), "bench_serve_tok")
+    if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from helpers import make_tokenizer_files
+
+        make_tokenizer_files(tok_dir)
+    tokenizer = ClipTokenizer.from_pretrained(tok_dir)
+    tokenizer.model_max_length = clip_text.CLIP_L.max_positions
+
+    unet_params = jax.jit(
+        lambda k: unet2d.init_params(k, unet2d.SD15, dtype=jnp.bfloat16)
+    )(jax.random.key(0))
+    te_params = jax.jit(lambda k: clip_text.init_params(k, clip_text.CLIP_L))(
+        jax.random.key(1)
+    )
+    vae_params = jax.jit(lambda k: vae.init_params(k, vae.SD_VAE, dtype=jnp.bfloat16))(
+        jax.random.key(2)
+    )
+    models = SDModels(
+        unet_params, unet2d.SD15,
+        [TextEncoderBundle(tokenizer, te_params, clip_text.CLIP_L)],
+        vae_params=vae_params, vae_config=vae.SD_VAE,
+    )
+    # env overrides exist for CPU smoke-testing the wiring only; the
+    # recorded metric is the 50-step 512px default
+    engine = SliderEngine(
+        models,
+        steps=int(os.environ.get("BENCH_SERVE_STEPS", "50")),
+        image_size=int(os.environ.get("BENCH_SERVE_SIZE", "512")),
+    )
+    engine.sliders["age"] = lnet.create_slider_network(
+        jax.random.key(3), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    server = make_http_server(engine, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    import http.client
+
+    scales = [-2, -1, 0, 1, 2]
+
+    def request(seed):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=3000)
+        conn.request(
+            "POST", "/generate",
+            body=json.dumps(
+                {"prompt": "photo of a person", "slider": "age",
+                 "scales": scales, "seed": seed}
+            ),
+        )
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200 and len(out["images"]) == len(scales), out
+        return out
+
+    request(0)  # warm compile (bucket 8) + embed-cache fill
+    seed = [1]
+
+    def run_once():
+        # response PNGs are host bytes derived from np.asarray inside the
+        # engine, so each request is a completed round trip by construction
+        request(seed[0])
+        seed[0] += 1
+
+    dt = best_sample(run_once)
+    server.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "serve_5scale_512px_request_latency",
+                "value": round(dt * 1000, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+                "images_per_sec": round(len(scales) / dt, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
@@ -623,5 +722,7 @@ if __name__ == "__main__":
         main_xl1024()
     elif "--model" in sys.argv and "invert" in sys.argv:
         main_invert()
+    elif "--model" in sys.argv and "serve" in sys.argv:
+        main_serve()
     else:
         main()
