@@ -15,8 +15,16 @@ design constraints are different from a CUDA script:
   - The scale sweep IS the batch dimension: a request for k scales runs one
     batched denoise, padded up to a fixed bucket size (powers of two) so k=3
     and k=4 share an executable.
-  - One process owns the TPU and requests serialize through a lock (two
-    concurrent jitted calls would interleave dispatch, not parallelize).
+  - One process owns the TPU, so a single worker thread drains a request
+    queue — and DYNAMICALLY BATCHES it: compatible requests waiting while
+    the device is busy (same slider/start_noise/guidance) are coalesced
+    into one larger denoise, rows split back per request afterwards.
+    Per-row math is independent (per-sample norms/attention, per-row LoRA
+    multipliers), so batched results match solo runs; bigger batches raise
+    MXU utilization instead of queueing latency. Stochastic samplers
+    (ddpm/euler_a) draw per-step noise from the first queued request's
+    seed, so their outputs depend on batch composition — the default ddim
+    path is batching-invariant.
 
 Endpoints (JSON in, JSON out; images as base64 PNG):
   GET  /healthz            -> {ok, is_xl, image_size, steps, sliders: [...]}
@@ -50,6 +58,34 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     raise ValueError(f"at most {_SCALE_BUCKETS[-1]} scales per request, got {n}")
+
+
+class _Pending:
+    """One queued /generate request awaiting the batching worker."""
+
+    __slots__ = (
+        "prompt", "negative", "seed", "scales", "slider", "weights",
+        "start_noise", "guidance", "event", "result", "error",
+    )
+
+    def __init__(self, prompt, negative, seed, scales, slider, weights,
+                 start_noise, guidance):
+        self.prompt = prompt
+        self.negative = negative
+        self.seed = seed
+        self.scales = scales
+        self.slider = slider
+        self.weights = weights
+        self.start_noise = start_noise
+        self.guidance = guidance
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+    def compat_key(self):
+        """Requests batch together iff the traced-scalar args and the LoRA
+        tree are shared (prompt/negative/seed/scales vary per row)."""
+        return (self.slider, self.start_noise, self.guidance)
 
 
 class SliderEngine:
@@ -96,6 +132,12 @@ class SliderEngine:
         # tokenize+encode inside the lock on repeats. FIFO-capped.
         self._embed_cache: dict[tuple, tuple] = {}
         self._embed_cache_cap = 32
+        # dynamic batching: handler threads enqueue, ONE worker drains —
+        # coalescing every compatible queued request into a single denoise
+        self._queue: list[_Pending] = []
+        self._queue_cv = threading.Condition()
+        self.stats = {"requests": 0, "batches": 0, "rows": 0}
+        threading.Thread(target=self._worker_loop, daemon=True).start()
 
     # -- registry ---------------------------------------------------------
 
@@ -145,6 +187,33 @@ class SliderEngine:
 
     # -- generation -------------------------------------------------------
 
+    def _make_pending(
+        self,
+        prompt: str,
+        *,
+        seed: int = 0,
+        slider: Optional[str] = None,
+        scales: Optional[list] = None,
+        start_noise: Optional[float] = None,
+        negative_prompt: str = "",
+        guidance_scale: Optional[float] = None,
+    ) -> _Pending:
+        """Validate a request and resolve its slider — errors raise in the
+        CALLER's thread (per-request), before anything reaches the batch."""
+        scales = [float(s) for s in (scales if scales is not None else [0.0])]
+        _bucket(len(scales))  # reject oversized sweeps up front
+        weights = None
+        if slider is not None:
+            with self._lock:
+                if slider not in self.sliders:
+                    raise KeyError(f"slider {slider!r} not loaded")
+                weights = self.sliders[slider]
+        return _Pending(
+            prompt, negative_prompt, int(seed), scales, slider, weights,
+            self.default_start_noise if start_noise is None else float(start_noise),
+            self.default_guidance if guidance_scale is None else float(guidance_scale),
+        )
+
     def generate(
         self,
         prompt: str,
@@ -157,61 +226,138 @@ class SliderEngine:
         guidance_scale: Optional[float] = None,
     ) -> list:
         """Returns [(scale, PNG bytes), ...] for one prompt, ordered like the
-        request's scales (duplicates each get their own image)."""
+        request's scales (duplicates each get their own image). Blocks until
+        the batching worker has served the request; concurrent callers with
+        compatible parameters share one batched denoise."""
+        p = self._make_pending(
+            prompt, seed=seed, slider=slider, scales=scales,
+            start_noise=start_noise, negative_prompt=negative_prompt,
+            guidance_scale=guidance_scale,
+        )
+        with self._queue_cv:
+            self._queue.append(p)
+            self._queue_cv.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # -- batching worker ---------------------------------------------------
+
+    def _worker_loop(self):
+        max_rows = _SCALE_BUCKETS[-1]
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                batch = [self._queue.pop(0)]
+                rows = len(batch[0].scales)
+                key = batch[0].compat_key()
+                i = 0
+                while i < len(self._queue):
+                    q = self._queue[i]
+                    if (
+                        q.compat_key() == key
+                        and q.weights is batch[0].weights
+                        and rows + len(q.scales) <= max_rows
+                    ):
+                        batch.append(self._queue.pop(i))
+                        rows += len(q.scales)
+                    else:
+                        i += 1
+            try:
+                results = self._generate_batch(batch)
+                for p, r in zip(batch, results):
+                    p.result = r
+            except Exception as e:  # surfaced in every waiting caller
+                for p in batch:
+                    p.error = e
+            for p in batch:
+                p.event.set()
+
+    def _generate_batch(self, batch: list) -> list:
+        """Run one denoise for all requests in `batch` (same compat_key) and
+        split the rows back per request."""
         import jax
         import jax.numpy as jnp
 
         from sliders_tpu.pipelines import text2image as t2i
 
         m = self.models
-        scales = [float(s) for s in (scales if scales is not None else [0.0])]
-        weights = None
-        if slider is not None:
-            with self._lock:
-                if slider not in self.sliders:
-                    raise KeyError(f"slider {slider!r} not loaded")
-                weights = self.sliders[slider]
-        n = len(scales)
-        nb = _bucket(n)
-        # pad the sweep to the bucket so every k <= bucket reuses one program
-        scale_vec = jnp.asarray(scales + [0.0] * (nb - n), jnp.float32)
+        rows = [len(p.scales) for p in batch]
+        total = sum(rows)
+        nb = _bucket(total)
+        scale_vec = jnp.asarray(
+            [s for p in batch for s in p.scales] + [0.0] * (nb - total), jnp.float32
+        )
 
         with self._lock:
-            cond, uncond, added1 = self._encode(prompt, negative_prompt)
-            cond_b, uncond_b, added = t2i.tile_conditioning(cond, uncond, added1, nb)
-            lats = jnp.tile(
-                t2i.initial_latents(
-                    jax.random.key(int(seed)), 1, self.image_size, self.image_size,
-                    self.sampler.init_noise_sigma,
-                ),
-                (nb, 1, 1, 1),
+            conds, unconds, addeds, lat_parts = [], [], [], []
+            for p, r in zip(batch, rows):
+                cond, uncond, added1 = self._encode(p.prompt, p.negative)
+                cond_b, uncond_b, added_b = t2i.tile_conditioning(
+                    cond, uncond, added1, r
+                )
+                conds.append(cond_b)
+                unconds.append(uncond_b)
+                addeds.append(added_b)
+                lat_parts.append(
+                    jnp.tile(
+                        t2i.initial_latents(
+                            jax.random.key(p.seed), 1,
+                            self.image_size, self.image_size,
+                            self.sampler.init_noise_sigma,
+                        ),
+                        (r, 1, 1, 1),
+                    )
+                )
+            pad = nb - total
+            if pad:  # repeat the first row into the bucket padding
+                conds.append(jnp.tile(conds[0][:1], (pad, 1, 1)))
+                unconds.append(jnp.tile(unconds[0][:1], (pad, 1, 1)))
+                lat_parts.append(jnp.tile(lat_parts[0][:1], (pad, 1, 1, 1)))
+                if addeds[0] is not None:
+                    addeds.append(
+                        {k: jnp.tile(v[:1], (pad, 1)) for k, v in addeds[0].items()}
+                    )
+            cond_all = jnp.concatenate(conds)
+            uncond_all = jnp.concatenate(unconds)
+            added = (
+                None
+                if addeds[0] is None
+                else {
+                    k: jnp.concatenate([a[k] for a in addeds]) for k in addeds[0]
+                }
             )
             x = self.fn(
                 m.unet_params,
-                lats,
-                cond_b,
-                uncond_b,
-                weights,
+                jnp.concatenate(lat_parts),
+                cond_all,
+                uncond_all,
+                batch[0].weights,
                 scale_vec,
-                jnp.asarray(
-                    self.default_start_noise if start_noise is None else float(start_noise)
-                ),
-                jnp.asarray(
-                    self.default_guidance if guidance_scale is None else float(guidance_scale)
-                ),
-                jax.random.key(int(seed)),
+                jnp.asarray(batch[0].start_noise),
+                jnp.asarray(batch[0].guidance),
+                jax.random.key(batch[0].seed),
                 added,
             )
             imgs = np.asarray(t2i.decode_images(m.vae_params, m.vae_config, x))
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["rows"] += total
 
         from PIL import Image
 
-        out = []
-        for i, s in enumerate(scales):
-            buf = io.BytesIO()
-            Image.fromarray(imgs[i]).save(buf, format="PNG")
-            out.append((s, buf.getvalue()))
-        return out
+        results, off = [], 0
+        for p, r in zip(batch, rows):
+            out = []
+            for i, s in enumerate(p.scales):
+                buf = io.BytesIO()
+                Image.fromarray(imgs[off + i]).save(buf, format="PNG")
+                out.append((s, buf.getvalue()))
+            results.append(out)
+            off += r
+        return results
 
     def warmup(self, with_slider: Optional[str] = None, n_scales: int = 5) -> None:
         """Compile the hot program before serving traffic. Defaults to the
@@ -255,6 +401,7 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                         "image_size": engine.image_size,
                         "steps": engine.steps,
                         "sliders": names,
+                        "stats": dict(engine.stats),
                     },
                 )
             else:

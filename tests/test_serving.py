@@ -140,6 +140,56 @@ def test_composition_and_errors(served):
     status, err = _req(port, "POST", "/sliders", {"name": "x"})
     assert status == 400 and "path" in err["error"]
 
+
+def test_dynamic_batching_coalesces_and_matches_solo(served):
+    """Compatible queued requests run as ONE batched denoise and each gets
+    exactly the images a solo run produces (per-row math is independent;
+    ddim is batching-invariant)."""
+    engine, port, ckpts = served
+    engine.load_slider("age", ckpts[0])
+
+    reqs = [
+        dict(prompt="photo", seed=31, slider="age", scales=[-1.0, 1.0]),
+        dict(prompt="a cat", seed=32, slider="age", scales=[0.5]),
+        dict(prompt="photo", seed=33, slider="age", scales=[2.0, 0.0, -2.0]),
+    ]
+    solo = [engine.generate(r["prompt"], **{k: v for k, v in r.items() if k != "prompt"})
+            for r in reqs]
+
+    # stuff the queue while the worker sleeps, then wake it once: the drain
+    # must take all three compatible requests in a single batch
+    pendings = [
+        engine._make_pending(r["prompt"], **{k: v for k, v in r.items() if k != "prompt"})
+        for r in reqs
+    ]
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend(pendings)
+        engine._queue_cv.notify()
+    for p in pendings:
+        assert p.event.wait(timeout=600)
+        assert p.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    assert engine.stats["requests"] == before["requests"] + 3
+    assert engine.stats["rows"] == before["rows"] + 6
+
+    for p, ref in zip(pendings, solo):
+        assert [s for s, _ in p.result] == [s for s, _ in ref]
+        for (_, png_b), (_, png_s) in zip(p.result, ref):
+            assert png_b == png_s, "batched image != solo image"
+
+    # incompatible start_noise must NOT merge into the same denoise
+    p1 = engine._make_pending("photo", seed=41, slider="age", scales=[1.0])
+    p2 = engine._make_pending("photo", seed=41, slider="age", scales=[1.0],
+                              start_noise=200.0)
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend([p1, p2])
+        engine._queue_cv.notify()
+    for p in (p1, p2):
+        assert p.event.wait(timeout=600) and p.error is None
+    assert engine.stats["batches"] == before["batches"] + 2
+
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("POST", "/generate", body=b"{not json")
     resp = conn.getresponse()
