@@ -20,8 +20,15 @@ from sliders_tpu.diffusion.schedulers import DiffusionSchedule
 
 
 def cfg_combine(eps: jax.Array, guidance_scale) -> jax.Array:
-    """eps is the batch-doubled output [uncond..., cond...]."""
+    """eps is the batch-doubled output [uncond..., cond...].
+
+    `guidance_scale` may be a scalar or a per-row (B,) vector (dynamic
+    request batching mixes guidance strengths in one denoise)."""
     eps_u, eps_c = jnp.split(eps, 2, axis=0)
+    if jnp.ndim(guidance_scale) > 0:
+        guidance_scale = jnp.reshape(
+            guidance_scale, (-1,) + (1,) * (eps_u.ndim - 1)
+        )
     return eps_u + guidance_scale * (eps_c - eps_u)
 
 

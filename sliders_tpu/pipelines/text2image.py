@@ -47,6 +47,10 @@ def make_sampling_fn(
     - `lora_weights` may be None (no slider)
     - `start_noise`: slider is OFF while t > start_noise
       (generate_images_xl.py:325-328; -1 keeps it always off, 1000 always on)
+    - with a VECTOR `slider_scale`, `start_noise` and `guidance_scale` may
+      also be per-row (B,) vectors — the serving engine batches requests
+      with different gates/strengths into one denoise. The scalar-scale
+      merged-delta fast path requires scalar start_noise.
     - `mesh`: optional dp mesh — the sweep batch (latents / embeddings /
       scale vector / added conds) is row-sharded over the ``dp`` axis and
       params are replicated, so a 500-prompt eval sweep scales across

@@ -83,9 +83,10 @@ class _Pending:
         self.error = None
 
     def compat_key(self):
-        """Requests batch together iff the traced-scalar args and the LoRA
-        tree are shared (prompt/negative/seed/scales vary per row)."""
-        return (self.slider, self.start_noise, self.guidance)
+        """Requests batch together iff they use the same slider — prompt,
+        negative, seed, scales, start_noise and guidance all vary per row
+        (start_noise/guidance ride as (B,) vectors, cfg_combine broadcasts)."""
+        return self.slider
 
 
 class SliderEngine:
@@ -287,8 +288,21 @@ class SliderEngine:
         rows = [len(p.scales) for p in batch]
         total = sum(rows)
         nb = _bucket(total)
+        pad_n = nb - total
         scale_vec = jnp.asarray(
-            [s for p in batch for s in p.scales] + [0.0] * (nb - total), jnp.float32
+            [s for p in batch for s in p.scales] + [0.0] * pad_n, jnp.float32
+        )
+        # per-row slider gate and guidance strength (requests in one batch
+        # may differ; padding rows reuse request 0's values)
+        sn_vec = jnp.asarray(
+            [p.start_noise for p, r in zip(batch, rows) for _ in range(r)]
+            + [batch[0].start_noise] * pad_n,
+            jnp.float32,
+        )
+        g_vec = jnp.asarray(
+            [p.guidance for p, r in zip(batch, rows) for _ in range(r)]
+            + [batch[0].guidance] * pad_n,
+            jnp.float32,
         )
 
         with self._lock:
@@ -336,8 +350,8 @@ class SliderEngine:
                 uncond_all,
                 batch[0].weights,
                 scale_vec,
-                jnp.asarray(batch[0].start_noise),
-                jnp.asarray(batch[0].guidance),
+                sn_vec,
+                g_vec,
                 jax.random.key(batch[0].seed),
                 added,
             )

@@ -178,16 +178,37 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
         for (_, png_b), (_, png_s) in zip(p.result, ref):
             assert png_b == png_s, "batched image != solo image"
 
-    # incompatible start_noise must NOT merge into the same denoise
-    p1 = engine._make_pending("photo", seed=41, slider="age", scales=[1.0])
-    p2 = engine._make_pending("photo", seed=41, slider="age", scales=[1.0],
-                              start_noise=200.0)
+    # different start_noise/guidance still merge (per-row vectors) and each
+    # row keeps its own gate: results match the solo runs bit for bit
+    kw1 = dict(seed=41, slider="age", scales=[1.0], start_noise=1000.0)
+    kw2 = dict(seed=41, slider="age", scales=[1.0], start_noise=-1.0,
+               guidance_scale=3.0)
+    solo1 = engine.generate("photo", **kw1)
+    solo2 = engine.generate("photo", **kw2)
+    p1 = engine._make_pending("photo", **kw1)
+    p2 = engine._make_pending("photo", **kw2)
     before = dict(engine.stats)
     with engine._queue_cv:
         engine._queue.extend([p1, p2])
         engine._queue_cv.notify()
     for p in (p1, p2):
         assert p.event.wait(timeout=600) and p.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    assert p1.result[0][1] == solo1[0][1]
+    assert p2.result[0][1] == solo2[0][1]
+    # gate actually differs per row: always-on vs always-off sliders diverge
+    assert p1.result[0][1] != p2.result[0][1]
+
+    # a different slider must NOT merge into the same denoise
+    engine.load_slider("smile", ckpts[1])
+    q1 = engine._make_pending("photo", seed=42, slider="age", scales=[1.0])
+    q2 = engine._make_pending("photo", seed=42, slider="smile", scales=[1.0])
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend([q1, q2])
+        engine._queue_cv.notify()
+    for q in (q1, q2):
+        assert q.event.wait(timeout=600) and q.error is None
     assert engine.stats["batches"] == before["batches"] + 2
 
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
