@@ -74,6 +74,8 @@ def main(args):
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        engine.close()
 
 
 if __name__ == "__main__":

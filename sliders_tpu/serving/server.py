@@ -16,15 +16,15 @@ design constraints are different from a CUDA script:
     batched denoise, padded up to a fixed bucket size (powers of two) so k=3
     and k=4 share an executable.
   - One process owns the TPU, so a single worker thread drains a request
-    queue — and DYNAMICALLY BATCHES it: compatible requests waiting while
-    the device is busy (same slider/start_noise/guidance) are coalesced
-    into one larger denoise, rows split back per request afterwards.
-    Per-row math is independent (per-sample norms/attention, per-row LoRA
-    multipliers), so batched results match solo runs; bigger batches raise
-    MXU utilization instead of queueing latency. Stochastic samplers
-    (ddpm/euler_a) draw per-step noise from the first queued request's
-    seed, so their outputs depend on batch composition — the default ddim
-    path is batching-invariant.
+    queue — and DYNAMICALLY BATCHES it: requests for the SAME slider that
+    queued while the device was busy are coalesced into one larger denoise
+    (start_noise and guidance ride as per-row vectors), rows split back per
+    request afterwards. Per-row math is independent (per-sample
+    norms/attention, per-row LoRA multipliers), so batched results match
+    solo runs; bigger batches raise MXU utilization instead of queueing
+    latency. Stochastic samplers (ddpm/euler_a) draw per-step noise from
+    one key for the whole batch, so coalescing is DISABLED for them —
+    outputs must not depend on concurrent traffic.
 
 Endpoints (JSON in, JSON out; images as base64 PNG):
   GET  /healthz            -> {ok, is_xl, image_size, steps, sliders: [...]}
@@ -127,18 +127,36 @@ class SliderEngine:
             is_xl=models.is_xl,
         )
         self.sliders: dict[str, dict] = {}
+        # _lock guards DEVICE work; _registry_lock guards the sliders dict,
+        # so lookups/loads never wait behind a multi-second denoise
         self._lock = threading.Lock()
+        self._registry_lock = threading.Lock()
         # (prompt, negative) -> encoded conditioning; serving traffic mostly
         # re-sweeps scales over a few prompts, so this skips the CLIP
         # tokenize+encode inside the lock on repeats. FIFO-capped.
         self._embed_cache: dict[tuple, tuple] = {}
         self._embed_cache_cap = 32
         # dynamic batching: handler threads enqueue, ONE worker drains —
-        # coalescing every compatible queued request into a single denoise
+        # coalescing every compatible queued request into a single denoise.
+        # Stochastic samplers share one per-step noise key per denoise, so
+        # they are served one request at a time (reproducibility).
+        self._coalesce = self.sampler.kind not in ("ddpm", "euler_a")
         self._queue: list[_Pending] = []
         self._queue_cv = threading.Condition()
+        self._closed = False
+        self.request_timeout = 3600.0
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
         threading.Thread(target=self._worker_loop, daemon=True).start()
+
+    def close(self) -> None:
+        """Stop the batching worker (idempotent). Queued requests finish;
+        new generate() calls are rejected."""
+        with self._queue_cv:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.append(None)  # sentinel: worker exits after drain
+            self._queue_cv.notify()
 
     # -- registry ---------------------------------------------------------
 
@@ -146,7 +164,7 @@ class SliderEngine:
         from sliders_tpu.lora import io as lora_io
 
         weights = lora_io.load_slider(path, self.models.unet_params)
-        with self._lock:
+        with self._registry_lock:
             self.sliders[name] = weights
 
     def load_composition(self, name: str, parts: list) -> None:
@@ -159,7 +177,7 @@ class SliderEngine:
             if not isinstance(part, dict) or not ({"name", "path"} & set(part)):
                 raise ValueError(f"compose part needs 'name' or 'path': {part!r}")
             if "name" in part:
-                with self._lock:
+                with self._registry_lock:
                     if part["name"] not in self.sliders:
                         raise KeyError(f"slider {part['name']!r} not loaded")
                     w = self.sliders[part["name"]]
@@ -167,7 +185,7 @@ class SliderEngine:
                 w = lora_io.load_slider(part["path"], self.models.unet_params)
             adapters.append((w, float(part.get("scale", 1.0))))
         composed = compose_sliders(adapters)
-        with self._lock:
+        with self._registry_lock:
             self.sliders[name] = composed
 
     # -- embedding --------------------------------------------------------
@@ -205,7 +223,7 @@ class SliderEngine:
         _bucket(len(scales))  # reject oversized sweeps up front
         weights = None
         if slider is not None:
-            with self._lock:
+            with self._registry_lock:
                 if slider not in self.sliders:
                     raise KeyError(f"slider {slider!r} not loaded")
                 weights = self.sliders[slider]
@@ -236,9 +254,14 @@ class SliderEngine:
             guidance_scale=guidance_scale,
         )
         with self._queue_cv:
+            if self._closed:
+                raise RuntimeError("engine is closed")
             self._queue.append(p)
             self._queue_cv.notify()
-        p.event.wait()
+        if not p.event.wait(timeout=self.request_timeout):
+            raise TimeoutError(
+                f"request not served within {self.request_timeout}s"
+            )
         if p.error is not None:
             raise p.error
         return p.result
@@ -251,14 +274,17 @@ class SliderEngine:
             with self._queue_cv:
                 while not self._queue:
                     self._queue_cv.wait()
+                if self._queue[0] is None:  # close() sentinel
+                    return
                 batch = [self._queue.pop(0)]
                 rows = len(batch[0].scales)
                 key = batch[0].compat_key()
                 i = 0
-                while i < len(self._queue):
+                while self._coalesce and i < len(self._queue):
                     q = self._queue[i]
                     if (
-                        q.compat_key() == key
+                        q is not None
+                        and q.compat_key() == key
                         and q.weights is batch[0].weights
                         and rows + len(q.scales) <= max_rows
                     ):
@@ -267,14 +293,18 @@ class SliderEngine:
                     else:
                         i += 1
             try:
-                results = self._generate_batch(batch)
-                for p, r in zip(batch, results):
-                    p.result = r
-            except Exception as e:  # surfaced in every waiting caller
+                # BaseException too: the worker is the only device owner —
+                # if it died silently every caller would hang forever
+                try:
+                    results = self._generate_batch(batch)
+                    for p, r in zip(batch, results):
+                        p.result = r
+                except BaseException as e:  # surfaced in every waiting caller
+                    for p in batch:
+                        p.error = e
+            finally:
                 for p in batch:
-                    p.error = e
-            for p in batch:
-                p.event.set()
+                    p.event.set()
 
     def _generate_batch(self, batch: list) -> list:
         """Run one denoise for all requests in `batch` (same compat_key) and
@@ -325,14 +355,13 @@ class SliderEngine:
                         (r, 1, 1, 1),
                     )
                 )
-            pad = nb - total
-            if pad:  # repeat the first row into the bucket padding
-                conds.append(jnp.tile(conds[0][:1], (pad, 1, 1)))
-                unconds.append(jnp.tile(unconds[0][:1], (pad, 1, 1)))
-                lat_parts.append(jnp.tile(lat_parts[0][:1], (pad, 1, 1, 1)))
+            if pad_n:  # repeat the first row into the bucket padding
+                conds.append(jnp.tile(conds[0][:1], (pad_n, 1, 1)))
+                unconds.append(jnp.tile(unconds[0][:1], (pad_n, 1, 1)))
+                lat_parts.append(jnp.tile(lat_parts[0][:1], (pad_n, 1, 1, 1)))
                 if addeds[0] is not None:
                     addeds.append(
-                        {k: jnp.tile(v[:1], (pad, 1)) for k, v in addeds[0].items()}
+                        {k: jnp.tile(v[:1], (pad_n, 1)) for k, v in addeds[0].items()}
                     )
             cond_all = jnp.concatenate(conds)
             uncond_all = jnp.concatenate(unconds)
@@ -405,7 +434,7 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
 
         def do_GET(self):
             if self.path == "/healthz":
-                with engine._lock:  # snapshot: /sliders may mutate concurrently
+                with engine._registry_lock:  # snapshot vs concurrent /sliders
                     names = sorted(engine.sliders)
                 self._send(
                     200,
@@ -471,6 +500,8 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                 # fields were validated above; a KeyError from the engine
                 # means an unknown slider/composition name
                 return self._send(404, {"error": f"unknown: {e}"})
+            except TimeoutError as e:  # before OSError: it's a subclass
+                return self._send(504, {"error": str(e)})
             except (TypeError, ValueError, OSError) as e:
                 return self._send(400, {"error": str(e)})
             except Exception as e:  # never drop the connection without a reply

@@ -34,21 +34,34 @@ def _strip_key(state):
     return state.replace(key=jax.random.key_data(state.key))
 
 
-def save_sharded(directory: str, state, *, force: bool = True) -> None:
-    """Write the train state to ``directory`` (atomic: tmp dir + rename).
+def save_sharded(directory: str, state) -> None:
+    """Write the train state under ``directory`` as a step-named checkpoint.
 
-    Every leaf is saved with its sharding; call this from all processes of
-    a multi-host run (orbax coordinates the barrier internally).
+    Crash-safe overwriting: each save lands in ``directory/<step>/`` via
+    orbax's tmp-dir+rename commit, and the PREVIOUS step is pruned only
+    after the new one is committed (max_to_keep=2) — a preemption mid-save
+    never destroys the last good resume state. Every leaf is saved with its
+    sharding; call this from all processes of a multi-host run (orbax
+    coordinates the barrier internally).
     """
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(directory), _strip_key(state), force=force)
-    ckptr.wait_until_finished()
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2),
+    )
+    try:
+        mgr.save(
+            int(state.step), args=ocp.args.StandardSave(_strip_key(state)), force=True
+        )
+        mgr.wait_until_finished()
+    finally:
+        mgr.close()
 
 
 def restore_sharded(directory: str, template):
-    """Restore a checkpoint written by save_sharded onto ``template``'s mesh.
+    """Restore the latest step saved under ``directory`` onto ``template``'s
+    mesh.
 
     ``template`` is a concrete state with the *target* placement (typically
     a freshly created SliderTrainState whose lora/opt trees were sharded for
@@ -64,8 +77,14 @@ def restore_sharded(directory: str, template):
         ),
         tmpl,
     )
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(directory), abstract)
+    mgr = ocp.CheckpointManager(os.path.abspath(directory))
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps under {directory}")
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    finally:
+        mgr.close()
     return restored.replace(
         key=jax.random.wrap_key_data(jnp.asarray(restored.key))
     )

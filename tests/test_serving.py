@@ -50,6 +50,7 @@ def served(tmp_path_factory):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     yield engine, server.server_address[1], ckpts
+    engine.close()
     server.shutdown()
 
 
@@ -140,6 +141,21 @@ def test_composition_and_errors(served):
     status, err = _req(port, "POST", "/sliders", {"name": "x"})
     assert status == 400 and "path" in err["error"]
 
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/generate", body=b"{not json")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+    status, _ = _req(port, "GET", "/nothere")
+    assert status == 404
+
+    # too many scales is a clean 400, not a compile
+    status, err = _req(
+        port, "POST", "/generate", {"prompt": "x", "scales": list(range(20))}
+    )
+    assert status == 400 and "at most" in err["error"]
+
 
 def test_dynamic_batching_coalesces_and_matches_solo(served):
     """Compatible queued requests run as ONE batched denoise and each gets
@@ -211,17 +227,30 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
         assert q.event.wait(timeout=600) and q.error is None
     assert engine.stats["batches"] == before["batches"] + 2
 
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
-    conn.request("POST", "/generate", body=b"{not json")
-    resp = conn.getresponse()
-    assert resp.status == 400
-    conn.close()
 
-    status, _ = _req(port, "GET", "/nothere")
-    assert status == 404
+def test_engine_lifecycle_and_stochastic_no_coalesce(served):
+    """close() stops the worker and rejects new requests; stochastic
+    samplers never coalesce (outputs must not depend on traffic)."""
+    import jax.numpy as jnp
 
-    # too many scales is a clean 400, not a compile
-    status, err = _req(
-        port, "POST", "/generate", {"prompt": "x", "scales": list(range(20))}
+    from sliders_tpu.serving.server import SliderEngine
+
+    engine, _, _ = served
+    eng2 = SliderEngine(
+        engine.models, scheduler="ddpm", steps=2, image_size=64,
+        compute_dtype=jnp.float32,
     )
-    assert status == 400 and "at most" in err["error"]
+    assert eng2._coalesce is False
+    p1 = eng2._make_pending("photo", seed=1, scales=[0.0, 1.0])
+    p2 = eng2._make_pending("photo", seed=2, scales=[0.0])
+    with eng2._queue_cv:
+        eng2._queue.extend([p1, p2])
+        eng2._queue_cv.notify()
+    for p in (p1, p2):
+        assert p.event.wait(timeout=600) and p.error is None
+    assert eng2.stats["batches"] == 2  # ddpm: one request per denoise
+
+    eng2.close()
+    eng2.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        eng2.generate("photo")
