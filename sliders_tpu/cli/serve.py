@@ -32,6 +32,11 @@ def build_parser():
         help="preload a slider checkpoint under NAME (repeatable)",
     )
     p.add_argument("--no_warmup", action="store_true", help="skip compile warmup")
+    p.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel devices for batched denoises (-1 = all devices; "
+        "1 disables) — request rows shard over the dp mesh axis",
+    )
     return p
 
 
@@ -47,6 +52,12 @@ def main(args):
     else:
         models = loader.load_sd(args.base, v2=args.v2, dtype=dtype, load_vae=True)
 
+    mesh = None
+    if args.dp != 1:
+        from sliders_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=args.dp)
+        print(f"serving data-parallel over {mesh.shape['dp']} devices")
     engine = SliderEngine(
         models,
         scheduler=args.scheduler,
@@ -55,6 +66,7 @@ def main(args):
         guidance_scale=args.guidance_scale,
         start_noise=args.start_noise,
         compute_dtype=dtype,
+        mesh=mesh,
     )
     for spec in args.slider:
         name, _, path = spec.partition("=")

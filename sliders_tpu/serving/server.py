@@ -53,11 +53,11 @@ import numpy as np
 _SCALE_BUCKETS = (1, 2, 4, 8, 16)
 
 
-def _bucket(n: int) -> int:
-    for b in _SCALE_BUCKETS:
+def _bucket(n: int, buckets=_SCALE_BUCKETS) -> int:
+    for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"at most {_SCALE_BUCKETS[-1]} scales per request, got {n}")
+    raise ValueError(f"at most {buckets[-1]} scales per request, got {n}")
 
 
 class _Pending:
@@ -103,6 +103,7 @@ class SliderEngine:
         guidance_scale: float = 7.5,
         start_noise: float = 750.0,
         compute_dtype=None,
+        mesh=None,
     ):
         import jax.numpy as jnp
 
@@ -125,7 +126,17 @@ class SliderEngine:
             guidance_rescale=0.7 if models.is_xl else 0.0,
             compute_dtype=self.dtype,
             is_xl=models.is_xl,
+            mesh=mesh,
         )
+        # multi-chip serving: batch rows shard over the dp axis, so every
+        # bucket must be a dp multiple (the sweep pads up to the bucket)
+        self._buckets = _SCALE_BUCKETS
+        if mesh is not None:
+            n_dp = mesh.shape["dp"]
+            self._buckets = tuple(
+                n_dp * k for k in (1, 2, 4, 8, 16)
+                if n_dp * k <= max(2 * n_dp, 2 * _SCALE_BUCKETS[-1])
+            )
         self.sliders: dict[str, dict] = {}
         # _lock guards DEVICE work; _registry_lock guards the sliders dict,
         # so lookups/loads never wait behind a multi-second denoise
@@ -269,7 +280,7 @@ class SliderEngine:
     # -- batching worker ---------------------------------------------------
 
     def _worker_loop(self):
-        max_rows = _SCALE_BUCKETS[-1]
+        max_rows = self._buckets[-1]
         while True:
             with self._queue_cv:
                 while not self._queue:
@@ -317,7 +328,7 @@ class SliderEngine:
         m = self.models
         rows = [len(p.scales) for p in batch]
         total = sum(rows)
-        nb = _bucket(total)
+        nb = _bucket(total, self._buckets)
         pad_n = nb - total
         scale_vec = jnp.asarray(
             [s for p in batch for s in p.scales] + [0.0] * pad_n, jnp.float32

@@ -254,3 +254,29 @@ def test_engine_lifecycle_and_stochastic_no_coalesce(served):
     eng2.close()  # idempotent
     with pytest.raises(RuntimeError, match="closed"):
         eng2.generate("photo")
+
+
+def test_mesh_engine_matches_single_device(served):
+    """SliderEngine(mesh=dp8): request rows shard over the dp axis and the
+    images match the unsharded engine's bit for bit (multi-chip serving)."""
+    import jax.numpy as jnp
+
+    from sliders_tpu.parallel.mesh import make_mesh
+    from sliders_tpu.serving.server import SliderEngine
+
+    engine, _, ckpts = served
+    engine.load_slider("age", ckpts[0])
+    meshed = SliderEngine(
+        engine.models, steps=3, image_size=64, compute_dtype=jnp.float32,
+        start_noise=1000.0, mesh=make_mesh(dp=8),
+    )
+    assert meshed._buckets[0] == 8  # buckets are dp multiples
+    meshed.sliders["age"] = engine.sliders["age"]
+
+    kw = dict(seed=5, slider="age", scales=[-1.0, 0.0, 1.0])
+    solo = engine.generate("photo", **kw)
+    sharded = meshed.generate("photo", **kw)
+    assert [s for s, _ in sharded] == [s for s, _ in solo]
+    for (_, a), (_, b) in zip(sharded, solo):
+        assert a == b, "dp-sharded serving image != single-device image"
+    meshed.close()
