@@ -256,6 +256,53 @@ def test_engine_lifecycle_and_stochastic_no_coalesce(served):
         eng2.generate("photo")
 
 
+def test_xl_engine_batches_added_conds(tmp_path_factory):
+    """SDXL serving: the pooled-embeds/time-ids added conds concatenate
+    correctly across a coalesced batch (the XL-only branch of
+    _generate_batch), and batched results match solo runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+    from sliders_tpu.serving.server import SliderEngine
+
+    snap = make_tiny_snapshot(
+        str(tmp_path_factory.mktemp("serve_xl") / "sdxl_tiny"), xl=True
+    )
+    models = loader.load_sdxl(snap, dtype=jnp.float32, load_vae=True)
+    engine = SliderEngine(
+        models, steps=2, image_size=64, compute_dtype=jnp.float32,
+        start_noise=1000.0,
+    )
+    w = lnet.create_slider_network(
+        jax.random.key(8), models.unet_params, rank=2, train_method="noxattn"
+    )
+    engine.sliders["s"] = {m: {**e, "up": e["up"] + 0.3} for m, e in w.items()}
+
+    reqs = [
+        dict(prompt="photo", seed=1, slider="s", scales=[-1.0, 1.0]),
+        dict(prompt="a cat", seed=2, slider="s", scales=[0.5]),
+    ]
+    solo = [engine.generate(r["prompt"], **{k: v for k, v in r.items() if k != "prompt"})
+            for r in reqs]
+    pendings = [
+        engine._make_pending(r["prompt"], **{k: v for k, v in r.items() if k != "prompt"})
+        for r in reqs
+    ]
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend(pendings)
+        engine._queue_cv.notify()
+    for p in pendings:
+        assert p.event.wait(timeout=600) and p.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    for p, ref in zip(pendings, solo):
+        for (_, a), (_, b) in zip(p.result, ref):
+            assert a == b, "XL batched image != solo image"
+    engine.close()
+
+
 def test_mesh_engine_matches_single_device(served):
     """SliderEngine(mesh=dp8): request rows shard over the dp axis and the
     images match the unsharded engine's bit for bit (multi-chip serving)."""
