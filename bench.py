@@ -693,6 +693,51 @@ def main_serve():
         seed[0] += 1
 
     dt = best_sample(run_once)
+
+    # multi-tenant phase: concurrent requests for DIFFERENT sliders coalesce
+    # into one denoise via per-row stacked adapters (lora/batch.py) — the
+    # serving throughput story. 4 concurrent 2-scale requests alternating
+    # between two sliders fill the 8-bucket exactly.
+    engine.sliders["smile"] = lnet.create_slider_network(
+        jax.random.key(4), unet_params, rank=4, alpha=1.0, train_method="noxattn"
+    )
+    names = ["age", "smile", "age", "smile"]
+
+    def mt_round(seed0):
+        outs = [None] * len(names)
+        errs = []
+
+        def one(i):
+            try:
+                outs[i] = engine.generate(
+                    "photo of a person", seed=seed0 + i, slider=names[i],
+                    scales=[-1.0, 1.0],
+                )
+            except Exception as e:  # surface in the bench, don't hang
+                errs.append(e)
+
+        ths = [threading.Thread(target=one, args=(i,)) for i in range(len(names))]
+        # the worker coalesces whatever queued while the device is busy; a
+        # tiny stagger lets all four enqueue before the first batch drains
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        if errs:
+            raise errs[0]
+        assert all(o is not None and len(o) == 2 for o in outs)
+
+    mt_round(100)  # warm the stacked-weights executable (bucket 8)
+    b0 = engine.stats["batches"]
+    mt_seed = [200]
+
+    def mt_once():
+        mt_round(mt_seed[0])
+        mt_seed[0] += 10
+
+    mt_dt = best_sample(mt_once)
+    mt_batches = engine.stats["batches"] - b0
+    engine.close()
     server.shutdown()
     print(
         json.dumps(
@@ -702,6 +747,8 @@ def main_serve():
                 "unit": "ms",
                 "vs_baseline": None,
                 "images_per_sec": round(len(scales) / dt, 2),
+                "mt_4req_2slider_images_per_sec": round(8 / mt_dt, 2),
+                "mt_denoise_batches_per_round": round(mt_batches / SAMPLES, 2),
             }
         )
     )

@@ -33,6 +33,11 @@ def build_parser():
     )
     p.add_argument("--no_warmup", action="store_true", help="skip compile warmup")
     p.add_argument(
+        "--warmup_multi", action="store_true",
+        help="also pre-compile the cross-slider (stacked-adapter) batch "
+        "program so the first coalesced mixed batch doesn't stall on it",
+    )
+    p.add_argument(
         "--dp", type=int, default=1,
         help="data-parallel devices for batched denoises (-1 = all devices; "
         "1 disables) — request rows shard over the dp mesh axis",
@@ -77,7 +82,10 @@ def main(args):
 
     if not args.no_warmup:
         print("warmup compile...")
-        engine.warmup(with_slider=next(iter(engine.sliders), None))
+        engine.warmup(
+            with_slider=next(iter(engine.sliders), None),
+            multi_tenant=args.warmup_multi and bool(engine.sliders),
+        )
         print("warm.")
 
     server = make_http_server(engine, args.host, args.port)

@@ -35,6 +35,10 @@ class SliderLora:
     ``multiplier`` may also be a (batch,) vector: different samples of one
     batched forward get different slider scales (used to fuse the image
     sliders' +s and −s passes into a single UNet call).
+
+    ``weights`` may also be a per-row STACKED tree (lora/batch.py): every
+    leaf carries a leading batch axis and row b of the forward gets row b's
+    adapter — different sliders served in one batched denoise.
     """
 
     weights: dict
@@ -67,7 +71,15 @@ def linear(
         down, up = entry["down"], entry["up"]
         rank = down.shape[-1]
         scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
-        y = y + (x @ down.astype(x.dtype)) @ up.astype(x.dtype) * scale
+        if down.ndim == 3:
+            # per-row stacked adapters (lora/batch.py): down (B, in, r),
+            # up (B, r, out) — row b of the batch gets row b's adapter via
+            # one batched GEMM pair (x is (B, ..., in), batch leading at
+            # every lora-bearing call site)
+            h = jnp.einsum("b...i,bir->b...r", x, down.astype(x.dtype))
+            y = y + jnp.einsum("b...r,bro->b...o", h, up.astype(x.dtype)) * scale
+        else:
+            y = y + (x @ down.astype(x.dtype)) @ up.astype(x.dtype) * scale
     return y
 
 
@@ -150,22 +162,50 @@ def _conv2d_lora_tail(p, x, y, strides, padding, lora, name):
         down, up = entry["down"], entry["up"]
         rank = down.shape[-1]
         scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
-        h = jax.lax.conv_general_dilated(
-            x,
-            down.astype(x.dtype),
-            window_strides=strides,
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        h = jax.lax.conv_general_dilated(
-            h,
-            up.astype(x.dtype),
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if down.ndim == 5:
+            # per-row stacked conv adapters (lora/batch.py): down
+            # (B, kh, kw, in, r), up (B, 1, 1, r, out) — one grouped conv
+            # per factor with each batch row as its own feature group
+            h = _grouped_per_row_conv(x, down.astype(x.dtype), strides, padding)
+            h = _grouped_per_row_conv(h, up.astype(x.dtype), (1, 1), "VALID")
+        else:
+            h = jax.lax.conv_general_dilated(
+                x,
+                down.astype(x.dtype),
+                window_strides=strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.lax.conv_general_dilated(
+                h,
+                up.astype(x.dtype),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         y = y + h * scale
     return y
+
+
+def _grouped_per_row_conv(x, w, strides, padding):
+    """Convolve row b of `x` (B, H, W, C) with row b's kernel from `w`
+    (B, kh, kw, C, O): batch rows become feature groups of ONE conv call
+    (lax feature_group_count), so B distinct adapters cost one grouped
+    conv instead of B convs. Returns (B, H', W', O)."""
+    B, H, W, C = x.shape
+    kh, kw, _, O = w.shape[1:]
+    xg = x.transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
+    wg = w.transpose(1, 2, 3, 0, 4).reshape(kh, kw, C, B * O)
+    hg = jax.lax.conv_general_dilated(
+        xg,
+        wg,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=B,
+    )
+    _, Ho, Wo, _ = hg.shape
+    return hg.reshape(Ho, Wo, B, O).transpose(2, 0, 1, 3)
 
 
 def group_norm(

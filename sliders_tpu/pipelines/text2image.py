@@ -96,7 +96,18 @@ def make_sampling_fn(
         # weights each step (lora/merge.py add_deltas — a cheap elementwise
         # add); vector scales use per-sample LoRA branch multipliers.
         deltas = None
-        if lora_weights is not None and jnp.ndim(slider_scale) == 0:
+        stacked = False
+        if lora_weights is not None:
+            from sliders_tpu.lora.batch import is_stacked
+
+            # per-row stacked adapters (multi-slider serving batch): the
+            # row axis must be CFG-doubled to line up with x_in's rows
+            stacked = is_stacked(lora_weights)
+            if stacked and use_cfg:
+                lora_weights = jax.tree.map(
+                    lambda w: jnp.concatenate([w, w]), lora_weights
+                )
+        if lora_weights is not None and not stacked and jnp.ndim(slider_scale) == 0:
             from sliders_tpu.lora.merge import lora_deltas
 
             deltas = lora_deltas(lora_weights, slider_scale)
@@ -112,7 +123,8 @@ def make_sampling_fn(
                 params = add_deltas(unet_params, deltas, gate)
             elif lora_weights is not None:
                 mult = jnp.where(t > start_noise, 0.0, slider_scale)
-                if use_cfg:
+                if use_cfg and jnp.ndim(mult) > 0:
+                    # CFG-doubled rows; a scalar multiplier broadcasts as-is
                     mult = jnp.concatenate([mult, mult])
                 lora = SliderLora(weights=lora_weights, multiplier=mult)
             x_in = jnp.concatenate([x, x]) if use_cfg else x

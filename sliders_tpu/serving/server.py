@@ -16,15 +16,17 @@ design constraints are different from a CUDA script:
     batched denoise, padded up to a fixed bucket size (powers of two) so k=3
     and k=4 share an executable.
   - One process owns the TPU, so a single worker thread drains a request
-    queue — and DYNAMICALLY BATCHES it: requests for the SAME slider that
-    queued while the device was busy are coalesced into one larger denoise
-    (start_noise and guidance ride as per-row vectors), rows split back per
+    queue — and DYNAMICALLY BATCHES it: queued requests whose adapters
+    share one pytree STRUCTURE — including DIFFERENT sliders — are
+    coalesced into one larger denoise (start_noise and guidance ride as
+    per-row vectors; distinct adapters stack per row, lora/batch.py, the
+    multi-tenant many-adapters-one-base pattern), rows split back per
     request afterwards. Per-row math is independent (per-sample
-    norms/attention, per-row LoRA multipliers), so batched results match
-    solo runs; bigger batches raise MXU utilization instead of queueing
-    latency. Stochastic samplers (ddpm/euler_a) draw per-step noise from
-    one key for the whole batch, so coalescing is DISABLED for them —
-    outputs must not depend on concurrent traffic.
+    norms/attention, per-row LoRA multipliers/weights), so batched results
+    match solo runs bit-for-bit; bigger batches raise MXU utilization
+    instead of queueing latency. Stochastic samplers (ddpm/euler_a) draw
+    per-step noise from one key for the whole batch, so coalescing is
+    DISABLED for them — outputs must not depend on concurrent traffic.
 
 Endpoints (JSON in, JSON out; images as base64 PNG):
   GET  /healthz            -> {ok, is_xl, image_size, steps, sliders: [...]}
@@ -64,18 +66,19 @@ class _Pending:
     """One queued /generate request awaiting the batching worker."""
 
     __slots__ = (
-        "prompt", "negative", "seed", "scales", "slider", "weights",
+        "prompt", "negative", "seed", "scales", "slider", "weights", "sig",
         "start_noise", "guidance", "event", "result", "error",
     )
 
     def __init__(self, prompt, negative, seed, scales, slider, weights,
-                 start_noise, guidance):
+                 sig, start_noise, guidance):
         self.prompt = prompt
         self.negative = negative
         self.seed = seed
         self.scales = scales
         self.slider = slider
         self.weights = weights
+        self.sig = sig
         self.start_noise = start_noise
         self.guidance = guidance
         self.event = threading.Event()
@@ -83,10 +86,14 @@ class _Pending:
         self.error = None
 
     def compat_key(self):
-        """Requests batch together iff they use the same slider — prompt,
+        """Requests batch together iff their adapters share one pytree
+        STRUCTURE (lora/batch.structure_signature) — different sliders
+        coalesce into one denoise via per-row stacked weights. Prompt,
         negative, seed, scales, start_noise and guidance all vary per row
-        (start_noise/guidance ride as (B,) vectors, cfg_combine broadcasts)."""
-        return self.slider
+        (start_noise/guidance ride as (B,) vectors, cfg_combine broadcasts);
+        slider-less requests group separately (their program has no LoRA
+        branch at all)."""
+        return self.sig
 
 
 class SliderEngine:
@@ -232,14 +239,19 @@ class SliderEngine:
         CALLER's thread (per-request), before anything reaches the batch."""
         scales = [float(s) for s in (scales if scales is not None else [0.0])]
         _bucket(len(scales))  # reject oversized sweeps up front
-        weights = None
+        weights, sig = None, None
         if slider is not None:
             with self._registry_lock:
                 if slider not in self.sliders:
                     raise KeyError(f"slider {slider!r} not loaded")
                 weights = self.sliders[slider]
+            # per-request recompute is microseconds (shape/dtype tuples over
+            # ~dozens of modules) and immune to hot-swap staleness
+            from sliders_tpu.lora.batch import structure_signature
+
+            sig = structure_signature(weights)
         return _Pending(
-            prompt, negative_prompt, int(seed), scales, slider, weights,
+            prompt, negative_prompt, int(seed), scales, slider, weights, sig,
             self.default_start_noise if start_noise is None else float(start_noise),
             self.default_guidance if guidance_scale is None else float(guidance_scale),
         )
@@ -296,7 +308,6 @@ class SliderEngine:
                     if (
                         q is not None
                         and q.compat_key() == key
-                        and q.weights is batch[0].weights
                         and rows + len(q.scales) <= max_rows
                     ):
                         batch.append(self._queue.pop(i))
@@ -345,6 +356,19 @@ class SliderEngine:
             + [batch[0].guidance] * pad_n,
             jnp.float32,
         )
+        # one adapter in flight -> pass its tree unchanged (the solo
+        # program). Distinct adapters -> stack one copy per ROW
+        # (lora/batch.py): program shapes depend only on the bucket, and
+        # every row applies exactly its own request's slider, so the batch
+        # stays bit-identical to solo runs. Padding rows ride at scale 0.
+        weights = batch[0].weights
+        if weights is not None and any(
+            p.weights is not weights for p in batch[1:]
+        ):
+            from sliders_tpu.lora.batch import stack_sliders
+
+            per_row = [p.weights for p, r in zip(batch, rows) for _ in range(r)]
+            weights = stack_sliders(per_row + [batch[0].weights] * pad_n)
 
         with self._lock:
             conds, unconds, addeds, lat_parts = [], [], [], []
@@ -388,7 +412,7 @@ class SliderEngine:
                 jnp.concatenate(lat_parts),
                 cond_all,
                 uncond_all,
-                batch[0].weights,
+                weights,
                 scale_vec,
                 sn_vec,
                 g_vec,
@@ -413,12 +437,45 @@ class SliderEngine:
             off += r
         return results
 
-    def warmup(self, with_slider: Optional[str] = None, n_scales: int = 5) -> None:
+    def warmup(
+        self,
+        with_slider: Optional[str] = None,
+        n_scales: int = 5,
+        multi_tenant: bool = False,
+    ) -> None:
         """Compile the hot program before serving traffic. Defaults to the
         reference sweep size (5 scales -> bucket 8); requests with other
-        bucket sizes compile once on first hit."""
+        bucket sizes compile once on first hit.
+
+        ``multi_tenant=True`` additionally compiles the per-row stacked
+        executable of the same bucket (the program cross-SLIDER coalesced
+        batches run, lora/batch.py) so the first mixed batch doesn't stall
+        traffic on a compile. Requires ``with_slider``."""
         self.generate("warmup", seed=0, slider=with_slider,
                       scales=[0.0] * n_scales)
+        if not multi_tenant:
+            return
+        if with_slider is None:
+            raise ValueError("multi_tenant warmup needs with_slider")
+        # two queued requests whose weight trees are distinct OBJECTS (a
+        # shallow copy suffices — coalescing keys on structure, stacking
+        # keys on identity) force the worker down the stacked path
+        half = max(1, n_scales // 2)
+        p1 = self._make_pending("warmup", seed=0, slider=with_slider,
+                                scales=[0.0] * half)
+        p2 = self._make_pending("warmup", seed=0, slider=with_slider,
+                                scales=[0.0] * (n_scales - half or 1))
+        p2.weights = dict(p2.weights)
+        with self._queue_cv:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._queue.extend([p1, p2])
+            self._queue_cv.notify()
+        for p in (p1, p2):
+            if not p.event.wait(timeout=self.request_timeout):
+                raise TimeoutError("multi-tenant warmup timed out")
+            if p.error is not None:
+                raise p.error
 
 
 # -- HTTP layer -----------------------------------------------------------

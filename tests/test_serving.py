@@ -215,10 +215,38 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
     # gate actually differs per row: always-on vs always-off sliders diverge
     assert p1.result[0][1] != p2.result[0][1]
 
-    # a different slider must NOT merge into the same denoise
+    # DIFFERENT sliders with the same adapter structure merge too: the rows
+    # carry per-row stacked weights (lora/batch.py) and each request still
+    # gets bit-exactly its solo images
     engine.load_slider("smile", ckpts[1])
-    q1 = engine._make_pending("photo", seed=42, slider="age", scales=[1.0])
-    q2 = engine._make_pending("photo", seed=42, slider="smile", scales=[1.0])
+    kw_a = dict(seed=42, slider="age", scales=[1.0, -1.0])
+    kw_s = dict(seed=43, slider="smile", scales=[0.5])
+    solo_a = engine.generate("photo", **kw_a)
+    solo_s = engine.generate("a cat", **kw_s)
+    q1 = engine._make_pending("photo", **kw_a)
+    q2 = engine._make_pending("a cat", **kw_s)
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend([q1, q2])
+        engine._queue_cv.notify()
+    for q in (q1, q2):
+        assert q.event.wait(timeout=600) and q.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    assert [png for _, png in q1.result] == [png for _, png in solo_a]
+    assert [png for _, png in q2.result] == [png for _, png in solo_s]
+
+    # a structurally different adapter (other rank) must NOT merge
+    import jax
+
+    from sliders_tpu.lora import network as lnet
+
+    w3 = lnet.create_slider_network(
+        jax.random.key(77), engine.models.unet_params, rank=1,
+        train_method="noxattn",
+    )
+    engine.sliders["thin"] = w3
+    q1 = engine._make_pending("photo", seed=44, slider="age", scales=[1.0])
+    q2 = engine._make_pending("photo", seed=44, slider="thin", scales=[1.0])
     before = dict(engine.stats)
     with engine._queue_cv:
         engine._queue.extend([q1, q2])
@@ -226,6 +254,14 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
     for q in (q1, q2):
         assert q.event.wait(timeout=600) and q.error is None
     assert engine.stats["batches"] == before["batches"] + 2
+
+    # multi-tenant warmup drives the stacked path once (1 solo batch +
+    # 1 coalesced stacked batch) without errors
+    before = dict(engine.stats)
+    engine.warmup(with_slider="age", n_scales=2, multi_tenant=True)
+    assert engine.stats["batches"] == before["batches"] + 2
+    with pytest.raises(ValueError, match="needs with_slider"):
+        engine.warmup(multi_tenant=True)
 
 
 def test_engine_lifecycle_and_stochastic_no_coalesce(served):
