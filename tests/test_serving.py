@@ -362,4 +362,26 @@ def test_mesh_engine_matches_single_device(served):
     assert [s for s, _ in sharded] == [s for s, _ in solo]
     for (_, a), (_, b) in zip(sharded, solo):
         assert a == b, "dp-sharded serving image != single-device image"
+
+    # cross-slider stacked weights compose with the dp mesh too (the lora
+    # in_sharding is P() — replicated — which is rank-agnostic): two
+    # different sliders coalesce into one sharded denoise, outputs match
+    # the unsharded engine row for row
+    engine.load_slider("smile", ckpts[1])
+    meshed.sliders["smile"] = engine.sliders["smile"]
+    kw_a = dict(seed=6, slider="age", scales=[1.0])
+    kw_s = dict(seed=7, slider="smile", scales=[-0.5, 0.5])
+    solo_a = engine.generate("photo", **kw_a)
+    solo_s = engine.generate("a cat", **kw_s)
+    p1 = meshed._make_pending("photo", **kw_a)
+    p2 = meshed._make_pending("a cat", **kw_s)
+    before = dict(meshed.stats)
+    with meshed._queue_cv:
+        meshed._queue.extend([p1, p2])
+        meshed._queue_cv.notify()
+    for p in (p1, p2):
+        assert p.event.wait(timeout=600) and p.error is None
+    assert meshed.stats["batches"] == before["batches"] + 1
+    assert [png for _, png in p1.result] == [png for _, png in solo_a]
+    assert [png for _, png in p2.result] == [png for _, png in solo_s]
     meshed.close()
