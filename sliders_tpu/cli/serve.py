@@ -38,6 +38,12 @@ def build_parser():
         "program so the first coalesced mixed batch doesn't stall on it",
     )
     p.add_argument(
+        "--buckets", default=None, metavar="N,N,...",
+        help="batch bucket sizes (each compiles one program; requests pad "
+        "up to the next bucket). Default 1,2,4,8,16; a deployment that "
+        "always sweeps 5 scales should pin --buckets 5",
+    )
+    p.add_argument(
         "--dp", type=int, default=1,
         help="data-parallel devices for batched denoises (-1 = all devices; "
         "1 disables) — request rows shard over the dp mesh axis",
@@ -72,6 +78,10 @@ def main(args):
         start_noise=args.start_noise,
         compute_dtype=dtype,
         mesh=mesh,
+        buckets=(
+            None if args.buckets is None
+            else tuple(int(b) for b in args.buckets.split(","))
+        ),
     )
     for spec in args.slider:
         name, _, path = spec.partition("=")

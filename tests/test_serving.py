@@ -264,6 +264,35 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
         engine.warmup(multi_tenant=True)
 
 
+def test_custom_buckets(served):
+    """buckets=(2,) serves exactly that program: 1-scale requests pad to 2,
+    3-scale requests are rejected up front; mesh engines require dp
+    multiples."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sliders_tpu.parallel.mesh import make_mesh
+    from sliders_tpu.serving.server import SliderEngine
+
+    engine, _, ckpts = served
+    eng = SliderEngine(
+        engine.models, steps=2, image_size=64, compute_dtype=jnp.float32,
+        buckets=(2,),
+    )
+    assert eng._buckets == (2,)
+    out = eng.generate("photo", scales=[0.5])
+    assert len(out) == 1 and out[0][0] == 0.5
+    with _pytest.raises(ValueError, match="at most"):
+        eng.generate("photo", scales=[0.0, 1.0, 2.0])
+    eng.close()
+
+    with _pytest.raises(ValueError, match="multiples of"):
+        SliderEngine(
+            engine.models, steps=2, image_size=64,
+            compute_dtype=jnp.float32, mesh=make_mesh(dp=8), buckets=(5,),
+        )
+
+
 def test_engine_lifecycle_and_stochastic_no_coalesce(served):
     """close() stops the worker and rejects new requests; stochastic
     samplers never coalesce (outputs must not depend on traffic)."""
