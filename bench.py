@@ -657,9 +657,9 @@ def main_serve():
         steps=int(os.environ.get("BENCH_SERVE_STEPS", "50")),
         image_size=int(os.environ.get("BENCH_SERVE_SIZE", "512")),
     )
-    engine.sliders["age"] = lnet.create_slider_network(
+    engine.register_slider("age", lnet.create_slider_network(
         jax.random.key(3), unet_params, rank=4, alpha=1.0, train_method="noxattn"
-    )
+    ))
     server = make_http_server(engine, "127.0.0.1", 0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -698,9 +698,9 @@ def main_serve():
     # into one denoise via per-row stacked adapters (lora/batch.py) — the
     # serving throughput story. 4 concurrent 2-scale requests alternating
     # between two sliders fill the 8-bucket exactly.
-    engine.sliders["smile"] = lnet.create_slider_network(
+    engine.register_slider("smile", lnet.create_slider_network(
         jax.random.key(4), unet_params, rank=4, alpha=1.0, train_method="noxattn"
-    )
+    ))
     names = ["age", "smile", "age", "smile"]
 
     def mt_round(seed0):

@@ -63,6 +63,20 @@ def main(args):
     else:
         models = loader.load_sd(args.base, v2=args.v2, dtype=dtype, load_vae=True)
 
+    buckets = None
+    if args.buckets is not None:
+        try:
+            buckets = tuple(int(b) for b in args.buckets.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--buckets wants comma-separated ints (e.g. 5 or 4,8), "
+                f"got {args.buckets!r}"
+            )
+        if not buckets or any(b < 1 for b in buckets):
+            raise SystemExit(
+                f"--buckets wants positive batch sizes, got {args.buckets!r}"
+            )
+
     mesh = None
     if args.dp != 1:
         from sliders_tpu.parallel import mesh as pmesh
@@ -78,10 +92,7 @@ def main(args):
         start_noise=args.start_noise,
         compute_dtype=dtype,
         mesh=mesh,
-        buckets=(
-            None if args.buckets is None
-            else tuple(int(b) for b in args.buckets.split(","))
-        ),
+        buckets=buckets,
     )
     for spec in args.slider:
         name, _, path = spec.partition("=")

@@ -69,7 +69,7 @@ def linear(
     entry = _lora_entry(lora, name)
     if entry is not None:
         down, up = entry["down"], entry["up"]
-        rank = down.shape[-1]
+        rank = entry.get("rank", down.shape[-1])
         scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
         if down.ndim == 3:
             # per-row stacked adapters (lora/batch.py): down (B, in, r),
@@ -83,8 +83,11 @@ def linear(
     return y
 
 
-def _lora_scale(multiplier, alpha, rank: int, y: jax.Array) -> jax.Array:
-    """Scalar or per-sample (batch,) multiplier -> broadcastable scale."""
+def _lora_scale(multiplier, alpha, rank, y: jax.Array) -> jax.Array:
+    """Scalar or per-sample (batch,) multiplier -> broadcastable scale.
+    `rank` is an int for solo adapters, or the (B,) TRUE-rank vector of a
+    rank-padded stacked tree (lora/batch.py) — dividing by the original
+    rank keeps padded rows bit-identical to their solo runs."""
     scale = multiplier * alpha / rank
     if jnp.ndim(scale) > 0:
         scale = scale.reshape(scale.shape + (1,) * (y.ndim - 1))
@@ -160,7 +163,7 @@ def _conv2d_lora_tail(p, x, y, strides, padding, lora, name):
     entry = _lora_entry(lora, name)
     if entry is not None:
         down, up = entry["down"], entry["up"]
-        rank = down.shape[-1]
+        rank = entry.get("rank", down.shape[-1])
         scale = _lora_scale(lora.multiplier, entry["alpha"], rank, y)
         if down.ndim == 5:
             # per-row stacked conv adapters (lora/batch.py): down

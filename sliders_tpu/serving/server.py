@@ -19,7 +19,8 @@ design constraints are different from a CUDA script:
     queue — and DYNAMICALLY BATCHES it: queued requests whose adapters
     share one pytree STRUCTURE — including DIFFERENT sliders — are
     coalesced into one larger denoise (start_noise and guidance ride as
-    per-row vectors; distinct adapters stack per row, lora/batch.py, the
+    per-row vectors; distinct adapters — even of different RANKS, which
+    zero-pad to a pow2 rank bucket — stack per row, lora/batch.py, the
     multi-tenant many-adapters-one-base pattern), rows split back per
     request afterwards. Per-row math is independent (per-sample
     norms/attention, per-row LoRA multipliers/weights), so batched results
@@ -143,12 +144,17 @@ class SliderEngine:
         # (buckets=(5,)) instead of padding 5 -> 8 (-37% wasted rows).
         self._buckets = _SCALE_BUCKETS
         if buckets is not None:
+            buckets = tuple(int(b) for b in buckets)
+            if not buckets or any(b < 1 for b in buckets):
+                raise ValueError(
+                    f"buckets must be non-empty positive ints, got {buckets}"
+                )
             if mesh is not None and any(b % mesh.shape["dp"] for b in buckets):
                 raise ValueError(
-                    f"buckets {tuple(buckets)} must be multiples of "
+                    f"buckets {buckets} must be multiples of "
                     f"dp={mesh.shape['dp']}"
                 )
-            self._buckets = tuple(sorted(int(b) for b in buckets))
+            self._buckets = tuple(sorted(buckets))
         elif mesh is not None:
             n_dp = mesh.shape["dp"]
             self._buckets = tuple(
@@ -189,12 +195,19 @@ class SliderEngine:
 
     # -- registry ---------------------------------------------------------
 
+    def register_slider(self, name: str, weights: dict) -> None:
+        """Register an in-memory adapter tree under the registry lock (the
+        path all registry writes go through — load_slider/load_composition
+        and programmatic callers like bench.py)."""
+        with self._registry_lock:
+            self.sliders[name] = weights
+
     def load_slider(self, name: str, path: str) -> None:
         from sliders_tpu.lora import io as lora_io
 
-        weights = lora_io.load_slider(path, self.models.unet_params)
-        with self._registry_lock:
-            self.sliders[name] = weights
+        self.register_slider(
+            name, lora_io.load_slider(path, self.models.unet_params)
+        )
 
     def load_composition(self, name: str, parts: list) -> None:
         """parts: [{"path": ... or "name": <loaded slider>, "scale": s}]"""
@@ -379,7 +392,11 @@ class SliderEngine:
             from sliders_tpu.lora.batch import stack_sliders
 
             per_row = [p.weights for p, r in zip(batch, rows) for _ in range(r)]
-            weights = stack_sliders(per_row + [batch[0].weights] * pad_n)
+            # pow2 rank buckets: a fleet of assorted-rank sliders compiles
+            # O(log max_rank) stacked programs, not one per distinct max
+            weights = stack_sliders(
+                per_row + [batch[0].weights] * pad_n, round_ranks_pow2=True
+            )
 
         with self._lock:
             conds, unconds, addeds, lat_parts = [], [], [], []
@@ -462,12 +479,22 @@ class SliderEngine:
         executable of the same bucket (the program cross-SLIDER coalesced
         batches run, lora/batch.py) so the first mixed batch doesn't stall
         traffic on a compile. Requires ``with_slider``."""
+        if multi_tenant:
+            if with_slider is None:
+                raise ValueError("multi_tenant warmup needs with_slider")
+            if not self._coalesce:
+                # stochastic samplers never coalesce, so the stacked
+                # executable would never be hit — "warming" it would be a
+                # silent no-op (two SOLO batches); fail before doing work
+                raise ValueError(
+                    f"multi_tenant warmup is meaningless with the "
+                    f"{self.sampler.kind!r} sampler: coalescing is disabled "
+                    f"for stochastic samplers, so no stacked program exists"
+                )
         self.generate("warmup", seed=0, slider=with_slider,
                       scales=[0.0] * n_scales)
         if not multi_tenant:
             return
-        if with_slider is None:
-            raise ValueError("multi_tenant warmup needs with_slider")
         # two queued requests whose weight trees are distinct OBJECTS (a
         # shallow copy suffices — coalescing keys on structure, stacking
         # keys on identity) force the worker down the stacked path

@@ -48,11 +48,74 @@ def test_stack_and_signature():
     assert stacked["m"]["alpha"].shape == (3,)
     assert is_stacked(stacked) and not is_stacked(a)
 
-    c = _linear_adapter(jax.random.key(2), 8, 6, 3)  # different rank
+    # heterogeneous ranks coalesce (Punica-style): same signature, factors
+    # zero-padded to the batch max rank, true ranks carried per row
+    c = _linear_adapter(jax.random.key(2), 8, 6, 3)
+    assert structure_signature(a) == structure_signature(c)
+    het = stack_sliders([a, c])
+    assert het["m"]["down"].shape == (2, 8, 3)
+    assert het["m"]["up"].shape == (2, 3, 6)
+    np.testing.assert_array_equal(np.asarray(het["m"]["rank"]), [2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(het["m"]["down"][0, :, 2]), 0.0)
+    np.testing.assert_array_equal(np.asarray(het["m"]["up"][0, 2, :]), 0.0)
+
+    d = _linear_adapter(jax.random.key(3), 8, 7, 2)  # different out dim
     with pytest.raises(ValueError, match="different structures"):
-        stack_sliders([a, c])
+        stack_sliders([a, d])
     with pytest.raises(ValueError, match="at least one"):
         stack_sliders([])
+    with pytest.raises(ValueError, match="empty adapter tree"):
+        structure_signature({})
+    assert not is_stacked({})
+
+
+def test_mixed_rank_rows_bit_identical_to_solo():
+    """Heterogeneous multi-tenant batching: a batch mixing rank-2/3/4
+    adapters matches each row's solo run — linear rows BIT-identical,
+    conv rows to ulp tolerance (the grouped conv's reduction order differs,
+    exactly like the same-rank conv case above). Zero-padded rank columns
+    are exact no-ops and the per-row rank vector keeps the alpha/rank
+    divisor the solo value."""
+    lin = [
+        _linear_adapter(jax.random.key(0), 8, 6, 2, alpha=1.0),
+        _linear_adapter(jax.random.key(1), 8, 6, 4, alpha=3.0),
+        _linear_adapter(jax.random.key(2), 8, 6, 3, alpha=2.0),
+    ]
+    p = {
+        "weight": jax.random.normal(jax.random.key(10), (8, 6), jnp.float32),
+        "bias": jax.random.normal(jax.random.key(11), (6,), jnp.float32),
+    }
+    x = jax.random.normal(jax.random.key(12), (3, 5, 8), jnp.float32)
+    mult = jnp.asarray([0.5, -1.0, 2.0])
+    stacked = SliderLora(weights=stack_sliders(lin), multiplier=mult)
+    y = basic.linear(p, x, lora=stacked, name="m")
+    for b, w in enumerate(lin):
+        solo = basic.linear(
+            p, x[b : b + 1],
+            lora=SliderLora(weights=w, multiplier=mult[b]), name="m",
+        )
+        np.testing.assert_array_equal(np.asarray(y[b]), np.asarray(solo[0]))
+
+    conv = [
+        _conv_adapter(jax.random.key(20), 3, 3, 4, 6, 2),
+        _conv_adapter(jax.random.key(21), 3, 3, 4, 6, 4, alpha=2.0),
+    ]
+    pc = {
+        "weight": jax.random.normal(jax.random.key(22), (3, 3, 4, 6), jnp.float32) * 0.2,
+        "bias": jax.random.normal(jax.random.key(23), (6,), jnp.float32),
+    }
+    xc = jax.random.normal(jax.random.key(24), (2, 8, 8, 4), jnp.float32)
+    multc = jnp.asarray([1.5, -0.5])
+    stacked_c = SliderLora(weights=stack_sliders(conv), multiplier=multc)
+    yc = basic.conv2d(pc, xc, lora=stacked_c, name="m")
+    for b, w in enumerate(conv):
+        solo = basic.conv2d(
+            pc, xc[b : b + 1],
+            lora=SliderLora(weights=w, multiplier=multc[b]), name="m",
+        )
+        np.testing.assert_allclose(
+            np.asarray(yc[b]), np.asarray(solo[0]), atol=1e-5
+        )
 
 
 def test_linear_per_row_matches_solo():

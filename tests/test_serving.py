@@ -235,7 +235,9 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
     assert [png for _, png in q1.result] == [png for _, png in solo_a]
     assert [png for _, png in q2.result] == [png for _, png in solo_s]
 
-    # a structurally different adapter (other rank) must NOT merge
+    # a DIFFERENT-RANK adapter merges too (heterogeneous rank padding,
+    # lora/batch.py): rank-1 rows ride zero-padded next to rank-2 rows and
+    # each request still gets exactly its solo images
     import jax
 
     from sliders_tpu.lora import network as lnet
@@ -244,9 +246,31 @@ def test_dynamic_batching_coalesces_and_matches_solo(served):
         jax.random.key(77), engine.models.unet_params, rank=1,
         train_method="noxattn",
     )
-    engine.sliders["thin"] = w3
+    w3 = {m: {**e, "up": e["up"] + 0.6} for m, e in w3.items()}
+    engine.register_slider("thin", w3)
+    solo_thin = engine.generate("photo", seed=44, slider="thin", scales=[1.0])
+    solo_age = engine.generate("photo", seed=44, slider="age", scales=[1.0])
     q1 = engine._make_pending("photo", seed=44, slider="age", scales=[1.0])
     q2 = engine._make_pending("photo", seed=44, slider="thin", scales=[1.0])
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend([q1, q2])
+        engine._queue_cv.notify()
+    for q in (q1, q2):
+        assert q.event.wait(timeout=600) and q.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    assert [png for _, png in q1.result] == [png for _, png in solo_age]
+    assert [png for _, png in q2.result] == [png for _, png in solo_thin]
+
+    # a different MODULE SET (train method) must NOT merge: its program
+    # has a different LoRA tree structure entirely
+    w4 = lnet.create_slider_network(
+        jax.random.key(78), engine.models.unet_params, rank=2,
+        train_method="xattn",
+    )
+    engine.register_slider("xonly", w4)
+    q1 = engine._make_pending("photo", seed=45, slider="age", scales=[1.0])
+    q2 = engine._make_pending("photo", seed=45, slider="xonly", scales=[1.0])
     before = dict(engine.stats)
     with engine._queue_cv:
         engine._queue.extend([q1, q2])
@@ -292,6 +316,14 @@ def test_custom_buckets(served):
             compute_dtype=jnp.float32, mesh=make_mesh(dp=8), buckets=(5,),
         )
 
+    # malformed buckets fail loudly at construction (ADVICE round 3)
+    for bad in ((), (0,), (4, -1)):
+        with _pytest.raises(ValueError, match="positive"):
+            SliderEngine(
+                engine.models, steps=2, image_size=64,
+                compute_dtype=jnp.float32, buckets=bad,
+            )
+
 
 def test_engine_lifecycle_and_stochastic_no_coalesce(served):
     """close() stops the worker and rejects new requests; stochastic
@@ -314,6 +346,11 @@ def test_engine_lifecycle_and_stochastic_no_coalesce(served):
     for p in (p1, p2):
         assert p.event.wait(timeout=600) and p.error is None
     assert eng2.stats["batches"] == 2  # ddpm: one request per denoise
+
+    # multi-tenant warmup on a non-coalescing engine is an explicit error,
+    # not a silent solo-batch no-op (ADVICE round 3)
+    with pytest.raises(ValueError, match="coalescing is disabled"):
+        eng2.warmup(with_slider="whatever", multi_tenant=True)
 
     eng2.close()
     eng2.close()  # idempotent
