@@ -68,3 +68,31 @@ def test_reference_eval_csvs_load():
     df = pd.read_csv(f"{REF}/prompts/prompts-person.csv")
     assert {"case_number", "prompt", "evaluation_seed"} <= set(df.columns)
     assert len(df) >= 100
+
+
+def test_shipped_data_yaml_examples_load():
+    """Our own shipped data/ examples (incl. the six ported GPT prompt sets
+    and prompts-xl.yaml) load and expand like the reference's."""
+    import glob
+
+    from sliders_tpu.prompts import load_prompts_from_yaml
+
+    repo_data = os.path.join(os.path.dirname(__file__), "..", "data")
+    gpt = sorted(glob.glob(os.path.join(repo_data, "prompts-*_GPT.yaml")))
+    assert len(gpt) == 6, gpt
+    for f in gpt:
+        ps = load_prompts_from_yaml(f)
+        assert len(ps) >= 1
+        assert all(p.action == "enhance" for p in ps)
+        assert ps[0].guidance_scale == 4.0  # 'guidance:' alias honored
+        # person sets bake out the 2x5 demographic preservation grid
+        if "person" in ps[0].target:
+            assert len(ps) == 10
+            assert len({p.target for p in ps}) == 10
+
+    xl = load_prompts_from_yaml(os.path.join(repo_data, "prompts-xl.yaml"))
+    assert len(xl) == 1 and xl[0].action == "enhance"
+    expanded = load_prompts_from_yaml(
+        os.path.join(repo_data, "prompts-xl.yaml"), ["male", "female"]
+    )
+    assert len(expanded) == 2 and expanded[0].target == "male person"
