@@ -61,19 +61,27 @@ TINY = FluxConfig(
 
 
 def pack_latents(latents: jax.Array) -> jax.Array:
-    """NHWC latents (B, H, W, C) -> (B, H/2*W/2, 4C) 2x2 patches."""
+    """NHWC latents (B, H, W, C) -> (B, H/2*W/2, 4C) 2x2 patches.
+
+    Token features are CHANNEL-MAJOR — each token is the (C, 2, 2) patch
+    flattened as c*4 + i*2 + j — matching diffusers FluxPipeline
+    ``_pack_latents`` (the order a real checkpoint's ``x_embedder`` input
+    rows are trained against; custom_flux_pipeline.py:420-434). A (2,2,C)
+    order would silently mis-wire converted real weights — caught by the
+    independent torch mirror (tests/torch_mirrors.py t_flux_forward)."""
     B, H, W, C = latents.shape
     x = latents.reshape(B, H // 2, 2, W // 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/2, W/2, 2, 2, C
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H/2, W/2, C, 2, 2
     return x.reshape(B, (H // 2) * (W // 2), 4 * C)
 
 
 def unpack_latents(packed: jax.Array, height: int, width: int) -> jax.Array:
-    """(B, H/2*W/2, 4C) -> NHWC (B, H, W, C)."""
+    """(B, H/2*W/2, 4C) -> NHWC (B, H, W, C); inverse of ``pack_latents``
+    (diffusers ``_unpack_latents`` order, custom_flux_pipeline.py:437-455)."""
     B, L, C4 = packed.shape
     C = C4 // 4
-    x = packed.reshape(B, height // 2, width // 2, 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = packed.reshape(B, height // 2, width // 2, C, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H/2, 2, W/2, 2, C
     return x.reshape(B, height, width, C)
 
 

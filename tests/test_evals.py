@@ -147,3 +147,49 @@ def test_infer_params_from_name():
     assert p3["scales"] == [-2.0, -1.0, 0.0, 1.0, 2.0]
     p4 = infer_params_from_name("models/age_noxattn/fullface.pt")
     assert p4["train_method"] == "noxattn"
+
+
+def test_lpips_torch_mirror_parity(tmp_path):
+    """Same-weights numerical anchor for evals/lpips.py (VERDICT r3 item 5):
+    synthesize real-architecture torch checkpoints (torchvision alexnet
+    state_dict + lpips package lin weights), load them through
+    load_torch_weights, and compare against an independent plain-torch
+    recomputation of the Zhang-et-al algorithm (torch_mirrors.t_lpips_*)."""
+    import torch
+
+    import torch_mirrors as tm
+
+    g = torch.Generator().manual_seed(0)
+    alex = {}
+    conv_shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+                   (256, 256, 3)]
+    for idx, (o, i, k) in zip((0, 3, 6, 8, 10), conv_shapes):
+        alex[f"features.{idx}.weight"] = (
+            torch.randn(o, i, k, k, generator=g) * (i * k * k) ** -0.5
+        )
+        alex[f"features.{idx}.bias"] = torch.randn(o, generator=g) * 0.01
+    lins = {
+        f"lin{j}.model.1.weight": torch.rand(1, c, 1, 1, generator=g) * 0.1
+        for j, c in enumerate((64, 192, 384, 256, 256))
+    }
+    torch.save(alex, tmp_path / "alexnet.pth")
+    torch.save(lins, tmp_path / "lpips_alex.pth")
+
+    params = jlpips.load_torch_weights(
+        str(tmp_path / "alexnet.pth"), str(tmp_path / "lpips_alex.pth")
+    )
+    x = jax.random.uniform(jax.random.key(1), (3, 64, 64, 3), minval=-1, maxval=1)
+    y = jax.random.uniform(jax.random.key(2), (3, 64, 64, 3), minval=-1, maxval=1)
+    ours = np.asarray(jlpips.lpips_distance(params, x, y))
+
+    def nchw(a):
+        return torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2).copy())
+
+    with torch.no_grad():
+        theirs = tm.t_lpips_distance(alex, lins, nchw(x), nchw(y)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+    # distance to self stays exactly zero through the real weight path
+    np.testing.assert_allclose(
+        np.asarray(jlpips.lpips_distance(params, x, x)), 0.0, atol=1e-7
+    )

@@ -205,3 +205,123 @@ def test_lms_trajectory_vs_diffusers_algorithm():
         x, state = sampler.step(i, eps, x, state)
 
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# FLUX MMDiT: whole-model + block-level torch parity (VERDICT r3 item 2 —
+# the model family with no independent numerical anchor until now).
+# The torch side recomputes diffusers' FluxTransformer2DModel semantics
+# (custom_flux_pipeline.py:420-455,687-731 drives it) on the SAME weights,
+# including the channel-major 2x2 packing a real x_embedder is trained
+# against.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("guidance_embeds", [True, False])
+def test_flux_whole_model_torch_parity(guidance_embeds):
+    from dataclasses import replace
+
+    from sliders_tpu.models import flux
+
+    cfg = replace(flux.TINY, guidance_embeds=guidance_embeds)
+    params = flux.init_params(jax.random.key(0), cfg)
+    state = tm.to_torch_state(params)
+
+    B, H, W = 2, 8, 8
+    C = cfg.in_channels // 4
+    lat = jax.random.normal(jax.random.key(1), (B, H, W, C), jnp.float32)
+    t = jnp.asarray([0.981, 0.005])
+    pooled = jax.random.normal(
+        jax.random.key(2), (B, cfg.pooled_projection_dim), jnp.float32
+    )
+    ehs = jax.random.normal(
+        jax.random.key(3), (B, 5, cfg.joint_attention_dim), jnp.float32
+    )
+    g = jnp.asarray([3.5, 1.0]) if guidance_embeds else None
+
+    iids = jnp.asarray(flux.image_ids(H, W))
+    tids = jnp.asarray(flux.text_ids(5))
+    ours_packed = flux.apply(
+        params, cfg, flux.pack_latents(lat), t, pooled, ehs, tids, iids,
+        guidance=g,
+    )
+    ours = np.asarray(flux.unpack_latents(ours_packed, H, W))
+
+    with torch.no_grad():
+        theirs = tm.t_flux_forward(
+            state, cfg, nchw(lat), torch.from_numpy(np.asarray(t)),
+            torch.from_numpy(np.asarray(pooled)),
+            torch.from_numpy(np.asarray(ehs)),
+            torch.from_numpy(np.asarray(tids)),
+            torch.from_numpy(np.asarray(iids)),
+            guidance=None if g is None else torch.from_numpy(np.asarray(g)),
+        )
+    np.testing.assert_allclose(ours, nhwc(theirs), atol=5e-5, rtol=1e-4)
+
+
+def test_flux_pack_matches_diffusers_order():
+    """Our NHWC pack must produce diffusers' channel-major token layout
+    (each token = (C,2,2) flattened) or converted real x_embedder weights
+    would be silently permuted."""
+    from sliders_tpu.models import flux
+
+    lat = jax.random.normal(jax.random.key(0), (2, 8, 8, 4), jnp.float32)
+    ours = np.asarray(flux.pack_latents(lat))
+    theirs = tm.t_flux_pack(nchw(lat)).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+    back = tm.t_flux_unpack(torch.from_numpy(ours), 8, 8)
+    np.testing.assert_array_equal(nhwc(back), np.asarray(lat))
+
+
+def test_flux_double_block_torch_parity():
+    from sliders_tpu.models import flux
+
+    cfg = flux.TINY
+    params = flux.init_params(jax.random.key(0), cfg)
+    sub = params["transformer_blocks"]["0"]
+    state = {f"blk.{k}": v for k, v in tm.to_torch_state(sub).items()}
+
+    B, L_img, L_txt, D = 2, 16, 5, cfg.inner_dim
+    img = jax.random.normal(jax.random.key(1), (B, L_img, D), jnp.float32)
+    txt = jax.random.normal(jax.random.key(2), (B, L_txt, D), jnp.float32)
+    temb = jax.random.normal(jax.random.key(3), (B, D), jnp.float32)
+    ids = jnp.concatenate(
+        [jnp.asarray(flux.text_ids(L_txt)), jnp.asarray(flux.image_ids(8, 8))]
+    )
+    cos, sin = flux.rope_tables(ids, cfg)
+    o_img, o_txt = flux._double_block(sub, img, txt, temb, cos, sin, cfg, None, "blk")
+    with torch.no_grad():
+        t_img, t_txt = tm.t_flux_double_block(
+            state, "blk", torch.from_numpy(np.asarray(img)),
+            torch.from_numpy(np.asarray(txt)),
+            torch.from_numpy(np.asarray(temb)),
+            torch.from_numpy(np.asarray(cos)), torch.from_numpy(np.asarray(sin)),
+            cfg.num_attention_heads,
+        )
+    np.testing.assert_allclose(np.asarray(o_img), t_img.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_txt), t_txt.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_flux_single_block_torch_parity():
+    from sliders_tpu.models import flux
+
+    cfg = flux.TINY
+    params = flux.init_params(jax.random.key(5), cfg)
+    sub = params["single_transformer_blocks"]["0"]
+    state = {f"blk.{k}": v for k, v in tm.to_torch_state(sub).items()}
+
+    B, L, D = 2, 21, cfg.inner_dim
+    x = jax.random.normal(jax.random.key(1), (B, L, D), jnp.float32)
+    temb = jax.random.normal(jax.random.key(2), (B, D), jnp.float32)
+    ids = jnp.concatenate(
+        [jnp.asarray(flux.text_ids(5)), jnp.asarray(flux.image_ids(8, 8))]
+    )
+    cos, sin = flux.rope_tables(ids, cfg)
+    ours = flux._single_block(sub, x, temb, cos, sin, cfg, None, "blk")
+    with torch.no_grad():
+        theirs = tm.t_flux_single_block(
+            state, "blk", torch.from_numpy(np.asarray(x)),
+            torch.from_numpy(np.asarray(temb)),
+            torch.from_numpy(np.asarray(cos)), torch.from_numpy(np.asarray(sin)),
+            cfg.num_attention_heads,
+        )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5, rtol=1e-4)

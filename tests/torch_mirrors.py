@@ -257,3 +257,223 @@ def t_vae_decode(p, cfg, latents):
             h = t_conv(p, f"{pre}.upsamplers.0.conv", h, padding=1)
     h = F.silu(t_gn(p, "decoder.conv_norm_out", h, g, 1e-6))
     return t_conv(p, "decoder.conv_out", h, padding=1)
+
+
+# ---------------------------------------------------------------------------
+# FluxTransformer2DModel (MMDiT)
+# ---------------------------------------------------------------------------
+# Written independently from diffusers' published FLUX semantics (the model
+# the reference's custom pipeline drives, flux-sliders/utils/
+# custom_flux_pipeline.py:420-455,687-731): channel-major 2x2 latent
+# packing, 3-axis RoPE with interleaved-pair rotation, per-head q/k RMSNorm,
+# adaLN-zero double/single stream blocks (context-first joint attention),
+# AdaLayerNormContinuous head.
+
+
+def t_flux_pack(lat):
+    """diffusers FluxPipeline._pack_latents: (B,C,H,W) -> (B, L, 4C),
+    token features flattened channel-major (C, 2, 2)."""
+    B, C, H, W = lat.shape
+    x = lat.view(B, C, H // 2, 2, W // 2, 2)
+    x = x.permute(0, 2, 4, 1, 3, 5)
+    return x.reshape(B, (H // 2) * (W // 2), C * 4)
+
+
+def t_flux_unpack(x, H, W):
+    B, L, C4 = x.shape
+    C = C4 // 4
+    x = x.view(B, H // 2, W // 2, C, 2, 2)
+    x = x.permute(0, 3, 1, 4, 2, 5)
+    return x.reshape(B, C, H, W)
+
+
+def t_flux_rope(ids, axes_dims, theta=10000.0):
+    """FluxPosEmbed: per-axis rotary tables, interleave-repeated to pairs."""
+    coss, sins = [], []
+    for axis, dim in enumerate(axes_dims):
+        freqs = 1.0 / theta ** (
+            torch.arange(0, dim, 2, dtype=torch.float32) / dim
+        )
+        ang = ids[:, axis].float()[:, None] * freqs[None]
+        coss.append(ang.cos().repeat_interleave(2, dim=-1))
+        sins.append(ang.sin().repeat_interleave(2, dim=-1))
+    return torch.cat(coss, -1), torch.cat(sins, -1)
+
+
+def t_flux_apply_rope(x, cos, sin, heads):
+    B, L, D = x.shape
+    d = D // heads
+    xh = x.view(B, L, heads, d).float()
+    x1, x2 = xh[..., 0::2], xh[..., 1::2]
+    rot = torch.stack([-x2, x1], dim=-1).reshape(xh.shape)
+    return (xh * cos[None, :, None, :] + rot * sin[None, :, None, :]).reshape(B, L, D)
+
+
+def t_flux_rmsnorm(p, pre, x, heads, eps=1e-6):
+    B, L, D = x.shape
+    d = D // heads
+    xh = x.view(B, L, heads, d).float()
+    xh = xh * torch.rsqrt(xh.pow(2).mean(-1, keepdim=True) + eps)
+    return (xh * p[f"{pre}.weight"].float()).reshape(B, L, D)
+
+
+def t_flux_ln(x, eps=1e-6):
+    return F.layer_norm(x.float(), (x.shape[-1],), eps=eps)
+
+
+def t_flux_joint_attention(q, k, v, heads):
+    B, L, D = q.shape
+    d = D // heads
+    q = q.view(B, L, heads, d).transpose(1, 2)
+    k = k.view(B, L, heads, d).transpose(1, 2)
+    v = v.view(B, L, heads, d).transpose(1, 2)
+    s = (q @ k.transpose(-1, -2)) * d ** -0.5
+    w = s.float().softmax(dim=-1)
+    return (w @ v.float()).transpose(1, 2).reshape(B, L, D)
+
+
+def t_flux_mlp(p, pre, x):
+    h = t_lin(p, f"{pre}.net.0.proj", x)
+    return t_lin(p, f"{pre}.net.2", F.gelu(h, approximate="tanh"))
+
+
+def t_flux_double_block(p, pre, img, txt, temb, cos, sin, heads):
+    mod = t_lin(p, f"{pre}.norm1.linear", F.silu(temb))
+    sh_a, sc_a, g_a, sh_m, sc_m, g_m = mod.chunk(6, dim=-1)
+    cmod = t_lin(p, f"{pre}.norm1_context.linear", F.silu(temb))
+    csh_a, csc_a, cg_a, csh_m, csc_m, cg_m = cmod.chunk(6, dim=-1)
+
+    img_n = t_flux_ln(img) * (1 + sc_a[:, None]) + sh_a[:, None]
+    txt_n = t_flux_ln(txt) * (1 + csc_a[:, None]) + csh_a[:, None]
+
+    a = f"{pre}.attn"
+    q = t_flux_rmsnorm(p, f"{a}.norm_q", t_lin(p, f"{a}.to_q", img_n), heads)
+    k = t_flux_rmsnorm(p, f"{a}.norm_k", t_lin(p, f"{a}.to_k", img_n), heads)
+    v = t_lin(p, f"{a}.to_v", img_n)
+    cq = t_flux_rmsnorm(p, f"{a}.norm_added_q", t_lin(p, f"{a}.add_q_proj", txt_n), heads)
+    ck = t_flux_rmsnorm(p, f"{a}.norm_added_k", t_lin(p, f"{a}.add_k_proj", txt_n), heads)
+    cv = t_lin(p, f"{a}.add_v_proj", txt_n)
+
+    # joint sequence, context first (diffusers FluxAttnProcessor2_0)
+    q = t_flux_apply_rope(torch.cat([cq, q], dim=1), cos, sin, heads)
+    k = t_flux_apply_rope(torch.cat([ck, k], dim=1), cos, sin, heads)
+    vv = torch.cat([cv, v], dim=1)
+    out = t_flux_joint_attention(q, k, vv, heads)
+    L_txt = txt.shape[1]
+    ctx_out, img_out = out[:, :L_txt], out[:, L_txt:]
+    img_out = t_lin(p, f"{a}.to_out.0", img_out)
+    ctx_out = t_lin(p, f"{a}.to_add_out", ctx_out)
+
+    img = img + g_a[:, None] * img_out
+    img_n2 = t_flux_ln(img) * (1 + sc_m[:, None]) + sh_m[:, None]
+    img = img + g_m[:, None] * t_flux_mlp(p, f"{pre}.ff", img_n2)
+
+    txt = txt + cg_a[:, None] * ctx_out
+    txt_n2 = t_flux_ln(txt) * (1 + csc_m[:, None]) + csh_m[:, None]
+    txt = txt + cg_m[:, None] * t_flux_mlp(p, f"{pre}.ff_context", txt_n2)
+    return img, txt
+
+
+def t_flux_single_block(p, pre, x, temb, cos, sin, heads):
+    mod = t_lin(p, f"{pre}.norm.linear", F.silu(temb))
+    shift, scale, gate = mod.chunk(3, dim=-1)
+    xn = t_flux_ln(x) * (1 + scale[:, None]) + shift[:, None]
+
+    a = f"{pre}.attn"
+    q = t_flux_rmsnorm(p, f"{a}.norm_q", t_lin(p, f"{a}.to_q", xn), heads)
+    k = t_flux_rmsnorm(p, f"{a}.norm_k", t_lin(p, f"{a}.to_k", xn), heads)
+    v = t_lin(p, f"{a}.to_v", xn)
+    q = t_flux_apply_rope(q, cos, sin, heads)
+    k = t_flux_apply_rope(k, cos, sin, heads)
+    attn_out = t_flux_joint_attention(q, k, v, heads)
+
+    mlp = F.gelu(t_lin(p, f"{pre}.proj_mlp", xn), approximate="tanh")
+    out = t_lin(p, f"{pre}.proj_out", torch.cat([attn_out, mlp], dim=-1))
+    return x + gate[:, None] * out
+
+
+def t_flux_forward(p, cfg, latents_nchw, timestep, pooled, ehs, txt_ids,
+                   img_ids, guidance=None):
+    """FluxTransformer2DModel.forward over UNPACKED NCHW latents: packs with
+    diffusers' channel-major order, runs the MMDiT, unpacks. `timestep` and
+    `guidance` follow the pipeline contract (t/1000 resp. raw scale)."""
+    B, C, H, W = latents_nchw.shape
+    heads = cfg.num_attention_heads
+
+    img = t_lin(p, "x_embedder", t_flux_pack(latents_nchw))
+    txt = t_lin(p, "context_embedder", ehs)
+
+    temb = t_sinusoidal(timestep.float() * 1000.0, 256)
+    temb = t_lin(p, "time_text_embed.timestep_embedder.linear_2",
+                 F.silu(t_lin(p, "time_text_embed.timestep_embedder.linear_1", temb)))
+    if cfg.guidance_embeds:
+        g_emb = t_sinusoidal(guidance.float() * 1000.0, 256)
+        temb = temb + t_lin(
+            p, "time_text_embed.guidance_embedder.linear_2",
+            F.silu(t_lin(p, "time_text_embed.guidance_embedder.linear_1", g_emb)),
+        )
+    temb = temb + t_lin(
+        p, "time_text_embed.text_embedder.linear_2",
+        F.silu(t_lin(p, "time_text_embed.text_embedder.linear_1", pooled)),
+    )
+
+    ids = torch.cat([txt_ids, img_ids], dim=0)
+    cos, sin = t_flux_rope(ids, cfg.axes_dims_rope, cfg.rope_theta)
+
+    for i in range(cfg.num_layers):
+        img, txt = t_flux_double_block(
+            p, f"transformer_blocks.{i}", img, txt, temb, cos, sin, heads
+        )
+    x = torch.cat([txt, img], dim=1)
+    for i in range(cfg.num_single_layers):
+        x = t_flux_single_block(
+            p, f"single_transformer_blocks.{i}", x, temb, cos, sin, heads
+        )
+    img = x[:, txt.shape[1]:]
+
+    mod = t_lin(p, "norm_out.linear", F.silu(temb))
+    scale, shift = mod.chunk(2, dim=-1)  # AdaLayerNormContinuous: scale first
+    img = t_flux_ln(img) * (1 + scale[:, None]) + shift[:, None]
+    return t_flux_unpack(t_lin(p, "proj_out", img), H, W)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (AlexNet) — Zhang et al. 2018, as the `lpips` package computes it
+# (the reference's structural-preservation metric, eval-scripts/
+# lpip_score.py:22-44): ScalingLayer -> AlexNet relu1-5 taps (maxpool after
+# relu1/relu2) -> channel unit-normalize -> squared diff -> non-negative 1x1
+# lin weights -> spatial mean -> sum over taps. Consumes the same torch
+# checkpoints evals/lpips.load_torch_weights reads.
+# ---------------------------------------------------------------------------
+
+_LPIPS_SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+_LPIPS_SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+
+def t_lpips_features(alex_state, x):
+    """x: (B, 3, H, W) lpips-normalized. Returns relu1..relu5 taps."""
+    specs = [(0, 4, 2), (3, 1, 2), (6, 1, 1), (8, 1, 1), (10, 1, 1)]
+    feats = []
+    for i, (idx, stride, pad) in enumerate(specs):
+        x = F.relu(F.conv2d(x, alex_state[f"features.{idx}.weight"],
+                            alex_state[f"features.{idx}.bias"],
+                            stride=stride, padding=pad))
+        feats.append(x)
+        if i in (0, 1):
+            x = F.max_pool2d(x, 3, stride=2)
+    return feats
+
+
+def t_lpips_distance(alex_state, lin_state, x, y):
+    """x, y: (B, 3, H, W) in [-1, 1]. Returns (B,) LPIPS distances."""
+    xn = (x - _LPIPS_SHIFT) / _LPIPS_SCALE
+    yn = (y - _LPIPS_SHIFT) / _LPIPS_SCALE
+    total = 0.0
+    for i, (a, b) in enumerate(zip(t_lpips_features(alex_state, xn),
+                                   t_lpips_features(alex_state, yn))):
+        a = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        b = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        d2 = (a - b).pow(2)
+        w = lin_state[f"lin{i}.model.1.weight"]  # (1, C, 1, 1), non-negative
+        total = total + F.conv2d(d2, w).mean(dim=(1, 2, 3))
+    return total
