@@ -18,14 +18,25 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--base", required=True, help="local model snapshot dir")
     p.add_argument("--xl", action="store_true")
+    p.add_argument("--flux", action="store_true",
+                   help="serve a FLUX snapshot (flow matching, guidance "
+                   "embedding, step-index slider gate)")
     p.add_argument("--v2", action="store_true")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--image_size", type=int, default=512)
-    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="denoise steps (default 50; 30 for --flux)")
     p.add_argument("--scheduler", default="ddim", choices=["ddim", "ddpm", "lms", "euler_a"])
-    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="CFG scale (default 7.5; guidance-embed value 3.5 "
+                   "for --flux)")
     p.add_argument("--start_noise", type=float, default=750.0)
+    p.add_argument("--skip_till", type=float, default=-1.0,
+                   help="FLUX slider gate: LoRA active when step > this")
+    p.add_argument("--pp", type=int, default=1,
+                   help="FLUX pipeline-parallel stages (layer-sharded "
+                   "MMDiT; capacity path for full flux-dev)")
     p.add_argument("--precision", default="bfloat16")
     p.add_argument(
         "--slider", action="append", default=[], metavar="NAME=CKPT",
@@ -58,7 +69,9 @@ def main(args):
     from sliders_tpu.serving.server import SliderEngine, make_http_server
 
     dtype = jnp.bfloat16 if args.precision in ("bf16", "bfloat16") else jnp.float32
-    if args.xl:
+    if args.flux:
+        models = loader.load_flux(args.base, dtype=dtype, load_vae=True)
+    elif args.xl:
         models = loader.load_sdxl(args.base, dtype=dtype, load_vae=True)
     else:
         models = loader.load_sd(args.base, v2=args.v2, dtype=dtype, load_vae=True)
@@ -77,23 +90,47 @@ def main(args):
                 f"--buckets wants positive batch sizes, got {args.buckets!r}"
             )
 
-    mesh = None
-    if args.dp != 1:
-        from sliders_tpu.parallel import mesh as pmesh
+    if args.flux:
+        from sliders_tpu.serving.server import FluxSliderEngine
 
-        mesh = pmesh.make_mesh(dp=args.dp)
-        print(f"serving data-parallel over {mesh.shape['dp']} devices")
-    engine = SliderEngine(
-        models,
-        scheduler=args.scheduler,
-        steps=args.ddim_steps,
-        image_size=args.image_size,
-        guidance_scale=args.guidance_scale,
-        start_noise=args.start_noise,
-        compute_dtype=dtype,
-        mesh=mesh,
-        buckets=buckets,
-    )
+        mesh = None
+        if args.pp > 1:
+            from sliders_tpu.parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh(dp=1, tp=1, pp=args.pp)
+            print(f"serving pipeline-parallel over {args.pp} stages")
+        engine = FluxSliderEngine(
+            models,
+            steps=30 if args.ddim_steps is None else args.ddim_steps,
+            image_size=args.image_size,
+            guidance_scale=(
+                3.5 if args.guidance_scale is None else args.guidance_scale
+            ),
+            skip_till=args.skip_till,
+            compute_dtype=dtype,
+            mesh=mesh,
+            buckets=buckets,
+        )
+    else:
+        mesh = None
+        if args.dp != 1:
+            from sliders_tpu.parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh(dp=args.dp)
+            print(f"serving data-parallel over {mesh.shape['dp']} devices")
+        engine = SliderEngine(
+            models,
+            scheduler=args.scheduler,
+            steps=50 if args.ddim_steps is None else args.ddim_steps,
+            image_size=args.image_size,
+            guidance_scale=(
+                7.5 if args.guidance_scale is None else args.guidance_scale
+            ),
+            start_noise=args.start_noise,
+            compute_dtype=dtype,
+            mesh=mesh,
+            buckets=buckets,
+        )
     for spec in args.slider:
         name, _, path = spec.partition("=")
         if not path:

@@ -62,6 +62,13 @@ def make_flux_sampling_fn(
     Slider gate: active when step index i > skip_slider_timestep_till
     (custom_flux_pipeline.py:703-711); pass -1 to keep it always on.
 
+    ``slider_scale`` / ``skip_till`` / ``guidance`` may be per-row (B,)
+    vectors (the serving engine's scale sweeps and coalesced batches), and
+    ``lora_weights`` may be a per-row STACKED tree (lora/batch.py,
+    multi-tenant FLUX serving). Scalar scales keep the merged-weight fast
+    path; vector/stacked inputs use the per-row LoRA branch multiplier —
+    same numerics, chosen at trace time by input shape.
+
     Pass a mesh with a ``pp`` axis to run the block stacks
     pipeline-parallel (parallel/pipeline.flux_apply_pp) — the capacity
     path for full FLUX-dev, which exceeds one v5e chip's HBM. Params
@@ -86,22 +93,30 @@ def make_flux_sampling_fn(
         B = latents.shape[0]
         g = jnp.broadcast_to(guidance, (B,)) if cfg.guidance_embeds else None
 
+        # per-row scales / stacked adapters can't pre-merge one delta tree;
+        # they ride the LoRA branch with a (B,) multiplier instead
+        per_row = jnp.ndim(slider_scale) > 0
+        if lora_weights is not None and not per_row:
+            from sliders_tpu.lora.batch import is_stacked
+
+            per_row = is_stacked(lora_weights)
         deltas = None
-        if lora_weights is not None and not use_pp:
+        if lora_weights is not None and not use_pp and not per_row:
             from sliders_tpu.lora.merge import lora_deltas
 
             deltas = lora_deltas(lora_weights, slider_scale)
 
         def body(x, i):
             t_norm = jnp.broadcast_to(sampler.timesteps[i] / 1000.0, (B,))
-            if use_pp:
+            lora = None
+            if lora_weights is not None and (use_pp or per_row):
                 from sliders_tpu.ops.basic import SliderLora
+
+                gated = slider_scale * jnp.where(i > skip_till, 1.0, 0.0)
+                lora = SliderLora(weights=lora_weights, multiplier=gated)
+            if use_pp:
                 from sliders_tpu.parallel.pipeline import flux_apply_pp
 
-                lora = None
-                if lora_weights is not None:
-                    gated = slider_scale * jnp.where(i > skip_till, 1.0, 0.0)
-                    lora = SliderLora(weights=lora_weights, multiplier=gated)
                 v = flux_apply_pp(
                     params, cfg, x, t_norm, pooled.astype(compute_dtype),
                     t5_embeds.astype(compute_dtype), tids, img_ids_arr, mesh,
@@ -115,7 +130,8 @@ def make_flux_sampling_fn(
                     p = add_deltas(params, deltas, jnp.where(i > skip_till, 1.0, 0.0))
                 v = flux.apply(
                     p, cfg, x, t_norm, pooled.astype(compute_dtype),
-                    t5_embeds.astype(compute_dtype), tids, img_ids_arr, guidance=g,
+                    t5_embeds.astype(compute_dtype), tids, img_ids_arr,
+                    guidance=g, lora=lora,
                 )
             return sampler.step(i, v, x).astype(compute_dtype), None
 

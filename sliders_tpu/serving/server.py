@@ -122,6 +122,7 @@ class SliderEngine:
         if models.vae_params is None:
             raise ValueError("serving needs the VAE (load with load_vae=True)")
         self.models = models
+        self._base_params = models.unet_params  # LoRA target tree
         self.image_size = int(image_size)
         self.steps = int(steps)
         self.default_guidance = float(guidance_scale)
@@ -137,6 +138,19 @@ class SliderEngine:
             is_xl=models.is_xl,
             mesh=mesh,
         )
+        self.family = "xl" if models.is_xl else "sd"
+        self._init_runtime(
+            buckets,
+            coalesce=self.sampler.kind not in ("ddpm", "euler_a"),
+            dp=None if mesh is None else mesh.shape["dp"],
+        )
+
+    def _init_runtime(self, buckets, *, coalesce: bool, dp=None) -> None:
+        """Shared engine runtime: bucket table, registry/device locks, embed
+        cache, batching worker. Subclasses call this at the end of their
+        __init__ after the sampler/fn are built."""
+        import threading as _threading
+
         # multi-chip serving: batch rows shard over the dp axis, so every
         # bucket must be a dp multiple (the sweep pads up to the bucket).
         # `buckets` pins custom sizes: each bucket is one compiled program,
@@ -149,25 +163,23 @@ class SliderEngine:
                 raise ValueError(
                     f"buckets must be non-empty positive ints, got {buckets}"
                 )
-            if mesh is not None and any(b % mesh.shape["dp"] for b in buckets):
+            if dp is not None and any(b % dp for b in buckets):
                 raise ValueError(
-                    f"buckets {buckets} must be multiples of "
-                    f"dp={mesh.shape['dp']}"
+                    f"buckets {buckets} must be multiples of dp={dp}"
                 )
             self._buckets = tuple(sorted(buckets))
-        elif mesh is not None:
-            n_dp = mesh.shape["dp"]
+        elif dp is not None:
             self._buckets = tuple(
-                n_dp * k for k in (1, 2, 4, 8, 16)
-                if n_dp * k <= max(2 * n_dp, 2 * _SCALE_BUCKETS[-1])
+                dp * k for k in (1, 2, 4, 8, 16)
+                if dp * k <= max(2 * dp, 2 * _SCALE_BUCKETS[-1])
             )
         self.sliders: dict[str, dict] = {}
         # _lock guards DEVICE work; _registry_lock guards the sliders dict,
         # so lookups/loads never wait behind a multi-second denoise
-        self._lock = threading.Lock()
-        self._registry_lock = threading.Lock()
+        self._lock = _threading.Lock()
+        self._registry_lock = _threading.Lock()
         # (prompt, negative) -> encoded conditioning; serving traffic mostly
-        # re-sweeps scales over a few prompts, so this skips the CLIP
+        # re-sweeps scales over a few prompts, so this skips the
         # tokenize+encode inside the lock on repeats. FIFO-capped.
         self._embed_cache: dict[tuple, tuple] = {}
         self._embed_cache_cap = 32
@@ -175,13 +187,13 @@ class SliderEngine:
         # coalescing every compatible queued request into a single denoise.
         # Stochastic samplers share one per-step noise key per denoise, so
         # they are served one request at a time (reproducibility).
-        self._coalesce = self.sampler.kind not in ("ddpm", "euler_a")
+        self._coalesce = coalesce
         self._queue: list[_Pending] = []
-        self._queue_cv = threading.Condition()
+        self._queue_cv = _threading.Condition()
         self._closed = False
         self.request_timeout = 3600.0
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
-        threading.Thread(target=self._worker_loop, daemon=True).start()
+        _threading.Thread(target=self._worker_loop, daemon=True).start()
 
     def close(self) -> None:
         """Stop the batching worker (idempotent). Queued requests finish;
@@ -206,7 +218,7 @@ class SliderEngine:
         from sliders_tpu.lora import io as lora_io
 
         self.register_slider(
-            name, lora_io.load_slider(path, self.models.unet_params)
+            name, lora_io.load_slider(path, self._base_params)
         )
 
     def load_composition(self, name: str, parts: list) -> None:
@@ -224,7 +236,7 @@ class SliderEngine:
                         raise KeyError(f"slider {part['name']!r} not loaded")
                     w = self.sliders[part["name"]]
             else:
-                w = lora_io.load_slider(part["path"], self.models.unet_params)
+                w = lora_io.load_slider(part["path"], self._base_params)
             adapters.append((w, float(part.get("scale", 1.0))))
         composed = compose_sliders(adapters)
         with self._registry_lock:
@@ -355,12 +367,8 @@ class SliderEngine:
     def _generate_batch(self, batch: list) -> list:
         """Run one denoise for all requests in `batch` (same compat_key) and
         split the rows back per request."""
-        import jax
         import jax.numpy as jnp
 
-        from sliders_tpu.pipelines import text2image as t2i
-
-        m = self.models
         rows = [len(p.scales) for p in batch]
         total = sum(rows)
         nb = _bucket(total, self._buckets)
@@ -399,55 +407,9 @@ class SliderEngine:
             )
 
         with self._lock:
-            conds, unconds, addeds, lat_parts = [], [], [], []
-            for p, r in zip(batch, rows):
-                cond, uncond, added1 = self._encode(p.prompt, p.negative)
-                cond_b, uncond_b, added_b = t2i.tile_conditioning(
-                    cond, uncond, added1, r
-                )
-                conds.append(cond_b)
-                unconds.append(uncond_b)
-                addeds.append(added_b)
-                lat_parts.append(
-                    jnp.tile(
-                        t2i.initial_latents(
-                            jax.random.key(p.seed), 1,
-                            self.image_size, self.image_size,
-                            self.sampler.init_noise_sigma,
-                        ),
-                        (r, 1, 1, 1),
-                    )
-                )
-            if pad_n:  # repeat the first row into the bucket padding
-                conds.append(jnp.tile(conds[0][:1], (pad_n, 1, 1)))
-                unconds.append(jnp.tile(unconds[0][:1], (pad_n, 1, 1)))
-                lat_parts.append(jnp.tile(lat_parts[0][:1], (pad_n, 1, 1, 1)))
-                if addeds[0] is not None:
-                    addeds.append(
-                        {k: jnp.tile(v[:1], (pad_n, 1)) for k, v in addeds[0].items()}
-                    )
-            cond_all = jnp.concatenate(conds)
-            uncond_all = jnp.concatenate(unconds)
-            added = (
-                None
-                if addeds[0] is None
-                else {
-                    k: jnp.concatenate([a[k] for a in addeds]) for k in addeds[0]
-                }
+            imgs = self._run_rows(
+                batch, rows, pad_n, weights, scale_vec, sn_vec, g_vec
             )
-            x = self.fn(
-                m.unet_params,
-                jnp.concatenate(lat_parts),
-                cond_all,
-                uncond_all,
-                weights,
-                scale_vec,
-                sn_vec,
-                g_vec,
-                jax.random.key(batch[0].seed),
-                added,
-            )
-            imgs = np.asarray(t2i.decode_images(m.vae_params, m.vae_config, x))
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
             self.stats["rows"] += total
@@ -464,6 +426,65 @@ class SliderEngine:
             results.append(out)
             off += r
         return results
+
+    def _run_rows(self, batch, rows, pad_n, weights, scale_vec, sn_vec, g_vec):
+        """Family-specific denoise of one padded row batch -> uint8 images
+        (model-parallel point for subclasses; caller holds self._lock)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_tpu.pipelines import text2image as t2i
+
+        m = self.models
+        conds, unconds, addeds, lat_parts = [], [], [], []
+        for p, r in zip(batch, rows):
+            cond, uncond, added1 = self._encode(p.prompt, p.negative)
+            cond_b, uncond_b, added_b = t2i.tile_conditioning(
+                cond, uncond, added1, r
+            )
+            conds.append(cond_b)
+            unconds.append(uncond_b)
+            addeds.append(added_b)
+            lat_parts.append(
+                jnp.tile(
+                    t2i.initial_latents(
+                        jax.random.key(p.seed), 1,
+                        self.image_size, self.image_size,
+                        self.sampler.init_noise_sigma,
+                    ),
+                    (r, 1, 1, 1),
+                )
+            )
+        if pad_n:  # repeat the first row into the bucket padding
+            conds.append(jnp.tile(conds[0][:1], (pad_n, 1, 1)))
+            unconds.append(jnp.tile(unconds[0][:1], (pad_n, 1, 1)))
+            lat_parts.append(jnp.tile(lat_parts[0][:1], (pad_n, 1, 1, 1)))
+            if addeds[0] is not None:
+                addeds.append(
+                    {k: jnp.tile(v[:1], (pad_n, 1)) for k, v in addeds[0].items()}
+                )
+        cond_all = jnp.concatenate(conds)
+        uncond_all = jnp.concatenate(unconds)
+        added = (
+            None
+            if addeds[0] is None
+            else {
+                k: jnp.concatenate([a[k] for a in addeds]) for k in addeds[0]
+            }
+        )
+        x = self.fn(
+            m.unet_params,
+            jnp.concatenate(lat_parts),
+            cond_all,
+            uncond_all,
+            weights,
+            scale_vec,
+            sn_vec,
+            g_vec,
+            jax.random.key(batch[0].seed),
+            added,
+        )
+        return np.asarray(t2i.decode_images(m.vae_params, m.vae_config, x))
 
     def warmup(
         self,
@@ -516,6 +537,128 @@ class SliderEngine:
                 raise p.error
 
 
+class FluxSliderEngine(SliderEngine):
+    """FLUX slider serving: the same queue/registry/dynamic-batching
+    machinery over the flow-matching pipeline (the reference's FLUX
+    inference surface, custom_flux_pipeline.py:694-766). Differences from
+    SD/XL, all isolated here:
+
+      - no CFG batch-doubling: ``guidance_scale`` is the distilled guidance
+        EMBEDDING value (flux-dev; ignored for schnell),
+      - the slider gate is the step-index skip ``skip_till`` (LoRA active
+        when step i > skip_till, :703-711) riding in the start_noise slot;
+        default -1.0 = always on; HTTP accepts it as ``skip_till``,
+      - the flowmatch sampler is deterministic, so coalescing (and
+        multi-tenant stacking, lora/batch.py) is always on,
+      - ``mesh`` (with a ``pp`` axis) runs the MMDiT pipeline-parallel —
+        the capacity path for full FLUX-dev, which exceeds one chip's HBM;
+        params are layer-sharded at construction (parallel/pipeline.py).
+    """
+
+    def __init__(
+        self,
+        models,
+        *,
+        steps: int = 30,
+        image_size: int = 512,
+        guidance_scale: float = 3.5,
+        skip_till: float = -1.0,
+        compute_dtype=None,
+        mesh=None,
+        buckets=None,
+        num_microbatches: int = 1,
+    ):
+        import jax.numpy as jnp
+
+        from sliders_tpu.diffusion.schedulers import make_flowmatch_sampler
+        from sliders_tpu.pipelines.flux_t2i import make_flux_sampling_fn
+
+        if models.vae_params is None:
+            raise ValueError("serving needs the VAE (load with load_vae=True)")
+        self.models = models
+        self._base_params = models.transformer_params
+        self.family = "flux"
+        self.image_size = int(image_size)
+        self.steps = int(steps)
+        self.default_guidance = float(guidance_scale)
+        self.default_start_noise = float(skip_till)  # step-index gate
+        self.dtype = compute_dtype if compute_dtype is not None else jnp.bfloat16
+        self._latent_hw = self.image_size // 8
+        seq_len = (self._latent_hw // 2) ** 2
+        self.sampler = make_flowmatch_sampler(
+            num_steps=self.steps, image_seq_len=seq_len
+        )
+        self._params = models.transformer_params
+        if mesh is not None:
+            from sliders_tpu.parallel.pipeline import flux_pp_params
+
+            self._params = flux_pp_params(
+                mesh, models.transformer_params, models.transformer_config
+            )
+        self.fn = make_flux_sampling_fn(
+            models.transformer_config, self.sampler,
+            latent_hw=self._latent_hw, compute_dtype=self.dtype, mesh=mesh,
+            num_microbatches=num_microbatches,
+        )
+        self._init_runtime(buckets, coalesce=True)
+
+    def _encode(self, prompt: str, negative: str):
+        """Cached (pooled, t5_embeds) 1-row conditioning. FLUX has no CFG
+        negative; `negative` is ignored (part of the shared request shape).
+        Caller holds self._lock."""
+        from sliders_tpu.pipelines.flux_t2i import encode_prompts_flux
+
+        key = (prompt, "")
+        hit = self._embed_cache.get(key)
+        if hit is None:
+            hit = encode_prompts_flux(self.models, [prompt])
+            if len(self._embed_cache) >= self._embed_cache_cap:
+                self._embed_cache.pop(next(iter(self._embed_cache)))
+            self._embed_cache[key] = hit
+        return hit
+
+    def _run_rows(self, batch, rows, pad_n, weights, scale_vec, sn_vec, g_vec):
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_tpu.models import flux
+        from sliders_tpu.pipelines import text2image as t2i
+        from sliders_tpu.pipelines.flux_t2i import initial_packed_latents
+
+        m = self.models
+        pooleds, t5s, lat_parts = [], [], []
+        for p, r in zip(batch, rows):
+            pooled, t5e = self._encode(p.prompt, p.negative)
+            pooleds.append(jnp.tile(pooled, (r, 1)))
+            t5s.append(jnp.tile(t5e, (r, 1, 1)))
+            lat_parts.append(
+                jnp.tile(
+                    initial_packed_latents(
+                        jax.random.key(p.seed), 1,
+                        self.image_size, self.image_size,
+                        m.vae_config.latent_channels,
+                    ),
+                    (r, 1, 1),
+                )
+            )
+        if pad_n:  # repeat the first row into the bucket padding
+            pooleds.append(jnp.tile(pooleds[0][:1], (pad_n, 1)))
+            t5s.append(jnp.tile(t5s[0][:1], (pad_n, 1, 1)))
+            lat_parts.append(jnp.tile(lat_parts[0][:1], (pad_n, 1, 1)))
+        x = self.fn(
+            self._params,
+            jnp.concatenate(lat_parts),
+            jnp.concatenate(pooleds),
+            jnp.concatenate(t5s),
+            weights,
+            scale_vec,
+            sn_vec,  # per-row skip_till
+            g_vec,
+        )
+        lat = flux.unpack_latents(x, self._latent_hw, self._latent_hw)
+        return np.asarray(t2i.decode_images(m.vae_params, m.vae_config, lat))
+
+
 # -- HTTP layer -----------------------------------------------------------
 
 
@@ -546,7 +689,8 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                     200,
                     {
                         "ok": True,
-                        "is_xl": engine.models.is_xl,
+                        "family": engine.family,
+                        "is_xl": engine.family == "xl",
                         "image_size": engine.image_size,
                         "steps": engine.steps,
                         "sliders": names,
@@ -587,7 +731,9 @@ def make_http_server(engine: SliderEngine, host: str = "127.0.0.1", port: int = 
                         seed=req.get("seed", 0),
                         slider=req.get("slider"),
                         scales=req.get("scales"),
-                        start_noise=req.get("start_noise"),
+                        # FLUX engines gate by step index; "skip_till" is
+                        # the family-appropriate alias for the same slot
+                        start_noise=req.get("start_noise", req.get("skip_till")),
                         negative_prompt=req.get("negative_prompt", ""),
                         guidance_scale=req.get("guidance_scale"),
                     )

@@ -63,20 +63,113 @@ def _fixed_unet_inputs(cfg):
 @needs_sd15
 def test_sd15_unet_eps_golden():
     """Real-weight UNet eps prediction vs a recorded golden. First run on
-    real weights records the golden and skips; subsequent runs compare."""
-    from sliders_tpu.models import loader, unet2d
+    real weights records the golden and skips; subsequent runs compare.
+    (Recorder logic lives in utils/goldens.py and is dry-run-tested on a
+    synthetic snapshot below, so this path is proven before real weights
+    appear.)"""
+    from sliders_tpu.models import loader
+    from sliders_tpu.utils.goldens import record_or_compare_eps_golden
 
     m = loader.load_sd(SD15_DIR, dtype=jnp.float32)
-    cfg = m.unet_config
-    x, t, ehs = _fixed_unet_inputs(cfg)
-    eps = np.asarray(unet2d.apply(m.unet_params, cfg, x, t, ehs))
-    assert np.isfinite(eps).all()
-    if not os.path.exists(GOLDEN):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.savez(GOLDEN, eps=eps)
+    status = record_or_compare_eps_golden(m, GOLDEN)
+    if status == "recorded":
         pytest.skip(f"recorded golden at {GOLDEN}; rerun to compare")
-    want = np.load(GOLDEN)["eps"]
-    np.testing.assert_allclose(eps, want, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_eps_golden_recorder_dry_run(tmp_path):
+    """Exercise the recorder code path itself (VERDICT r3 item 8) against a
+    synthesized full-layout snapshot: record -> compare-match -> perturbed
+    weights must FAIL the comparison."""
+    from helpers import make_tiny_snapshot
+
+    from sliders_tpu.models import loader
+    from sliders_tpu.utils.goldens import record_or_compare_eps_golden
+
+    snap = make_tiny_snapshot(str(tmp_path / "sd_tiny"))
+    m = loader.load_sd(snap, dtype=jnp.float32)
+    golden = str(tmp_path / "eps_golden.npz")
+    assert record_or_compare_eps_golden(m, golden) == "recorded"
+    assert os.path.exists(golden)
+    assert record_or_compare_eps_golden(m, golden) == "matched"
+
+    bad = jax.tree.map(lambda x: x, m.unet_params)
+    bad["conv_in"]["bias"] = bad["conv_in"]["bias"] + 0.05
+    m.unet_params = bad
+    with pytest.raises(AssertionError):
+        record_or_compare_eps_golden(m, golden)
+
+
+@pytest.mark.slow
+def test_eps_golden_recorder_dry_run_xl(tmp_path):
+    """Same recorder dry-run through the SDXL branch (added-cond probe)."""
+    from helpers import make_tiny_snapshot
+
+    from sliders_tpu.models import loader
+    from sliders_tpu.utils.goldens import record_or_compare_eps_golden
+
+    snap = make_tiny_snapshot(str(tmp_path / "sdxl_tiny"), xl=True)
+    m = loader.load_sdxl(snap, dtype=jnp.float32)
+    golden = str(tmp_path / "eps_golden_xl.npz")
+    assert record_or_compare_eps_golden(m, golden, spatial=8) == "recorded"
+    assert record_or_compare_eps_golden(m, golden, spatial=8) == "matched"
+
+
+@pytest.mark.slow
+def test_real_weight_runbook_dry_run(tmp_path):
+    """Run the ENTIRE runbook CLI (cli/validate_real_weights.py) hermetically
+    on synthetic snapshots — load, golden record+compare, CLIP sanity, LPIPS
+    sanity, sampling sweep — so the one command real weights will get is
+    already proven end-to-end."""
+    import torch
+
+    from helpers import make_tiny_clip_snapshot, make_tiny_snapshot
+
+    from sliders_tpu.cli import validate_real_weights as rb
+
+    snap = make_tiny_snapshot(str(tmp_path / "sd_tiny"))
+    clip_snap = make_tiny_clip_snapshot(str(tmp_path / "clip_tiny"))
+    alex = {}
+    for idx, (o, i, k) in zip(
+        (0, 3, 6, 8, 10),
+        [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3), (256, 256, 3)],
+    ):
+        alex[f"features.{idx}.weight"] = torch.randn(o, i, k, k) * (i * k * k) ** -0.5
+        alex[f"features.{idx}.bias"] = torch.zeros(o)
+    lins = {
+        f"lin{j}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+        for j, c in enumerate((64, 192, 384, 256, 256))
+    }
+    torch.save(alex, tmp_path / "alexnet.pth")
+    torch.save(lins, tmp_path / "lpips_alex.pth")
+
+    args = rb.build_parser().parse_args([
+        "--sd15", snap,
+        "--clip", clip_snap,
+        "--alexnet", str(tmp_path / "alexnet.pth"),
+        "--lpips_lins", str(tmp_path / "lpips_alex.pth"),
+        "--golden", str(tmp_path / "g.npz"),
+        "--out", str(tmp_path / "out"),
+        "--steps", "3", "--image_size", "64",
+    ])
+    # first run records the golden; CLIP red/blue sanity is a property of
+    # TRAINED weights, so with a random tiny CLIP it may legitimately fail
+    # — every other step must pass
+    rc = rb.main(args)
+    import json as _json
+
+    results = _json.load(open(tmp_path / "out" / "validation.json"))
+    assert results["load"]["status"] == "PASS"
+    assert results["eps_golden"]["status"] == "RECORDED"
+    assert results["lpips"]["status"] == "PASS"
+    assert results["sweep"]["status"] == "PASS"
+    assert results["single_file"]["status"] == "SKIP"
+    assert os.path.exists(tmp_path / "out" / "sweep_+0.0.png")
+
+    # second run compares against the recorded golden
+    rc2 = rb.main(args)
+    results2 = _json.load(open(tmp_path / "out" / "validation.json"))
+    assert results2["eps_golden"]["status"] == "MATCHED"
 
 
 @needs_ckpt

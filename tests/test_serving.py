@@ -451,3 +451,96 @@ def test_mesh_engine_matches_single_device(served):
     assert [png for _, png in p1.result] == [png for _, png in solo_a]
     assert [png for _, png in p2.result] == [png for _, png in solo_s]
     meshed.close()
+
+
+def test_flux_engine_serves_and_batches(tmp_path_factory):
+    """FLUX serving (VERDICT r3 item 4): the engine runs the flow-matching
+    pipeline (guidance embedding, step-index slider gate) behind the same
+    queue/batching machinery — solo requests, cross-request coalescing with
+    DIFFERENT sliders (stacked adapters through the MMDiT), and the HTTP
+    surface with the skip_till alias, all bit-matching solo runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from helpers import make_tiny_flux_snapshot
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+    from sliders_tpu.serving.server import FluxSliderEngine, make_http_server
+
+    root = tmp_path_factory.mktemp("serve_flux")
+    snap = make_tiny_flux_snapshot(str(root / "flux_tiny"))
+    models = loader.load_flux(snap, dtype=jnp.float32, load_vae=True)
+
+    engine = FluxSliderEngine(
+        models, steps=2, image_size=64, compute_dtype=jnp.float32,
+    )
+    assert engine.family == "flux" and engine._coalesce
+    ckpts = []
+    for i in range(2):
+        w = lnet.create_slider_network(
+            jax.random.key(30 + i), models.transformer_params, rank=2,
+            train_method="xattn",
+        )
+        w = {m: {**e, "up": e["up"] + (0.3 if i == 0 else -0.3)}
+             for m, e in w.items()}
+        p = str(root / f"f{i}.safetensors")
+        lora_io.save_slider(p, w)
+        ckpts.append(p)
+    engine.load_slider("s0", ckpts[0])
+    engine.load_slider("s1", ckpts[1])
+
+    # solo: a 3-scale sweep produces 3 distinct, ordered images
+    out = engine.generate("a photo", seed=4, slider="s0",
+                          scales=[-2.0, 0.0, 2.0])
+    assert [s for s, _ in out] == [-2.0, 0.0, 2.0]
+    assert out[0][1] != out[2][1]
+
+    # coalescing two DIFFERENT flux sliders -> one stacked batch, results
+    # bit-equal to the solo runs
+    kw_a = dict(seed=5, slider="s0", scales=[1.0, -1.0])
+    kw_b = dict(seed=6, slider="s1", scales=[0.5])
+    solo_a = engine.generate("a photo", **kw_a)
+    solo_b = engine.generate("a cat", **kw_b)
+    p1 = engine._make_pending("a photo", **kw_a)
+    p2 = engine._make_pending("a cat", **kw_b)
+    before = dict(engine.stats)
+    with engine._queue_cv:
+        engine._queue.extend([p1, p2])
+        engine._queue_cv.notify()
+    for p in (p1, p2):
+        assert p.event.wait(timeout=600) and p.error is None
+    assert engine.stats["batches"] == before["batches"] + 1
+    assert [png for _, png in p1.result] == [png for _, png in solo_a]
+    assert [png for _, png in p2.result] == [png for _, png in solo_b]
+
+    # the step-index gate changes outputs: skip_till=1000 (never on) at a
+    # big scale must equal the scale-0 image; skip_till=-1 must differ
+    base = engine.generate("a photo", seed=7, scales=[0.0])
+    off = engine.generate("a photo", seed=7, slider="s0", scales=[3.0],
+                          start_noise=1000.0)
+    on = engine.generate("a photo", seed=7, slider="s0", scales=[3.0],
+                         start_noise=-1.0)
+    assert off[0][1] == base[0][1]
+    assert on[0][1] != base[0][1]
+
+    # HTTP surface: healthz reports the family; /generate takes skip_till
+    import http.client
+    import json as _json
+
+    server = make_http_server(engine, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, health = _req(port, "GET", "/healthz")
+        assert status == 200 and health["family"] == "flux"
+        status, resp = _req(
+            port, "POST", "/generate",
+            {"prompt": "a photo", "seed": 7, "slider": "s0",
+             "scales": [3.0], "skip_till": -1.0},
+        )
+        assert status == 200
+        assert base64.b64decode(resp["images"][0]["png"]) == on[0][1]
+    finally:
+        server.shutdown()
+        engine.close()
