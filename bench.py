@@ -754,8 +754,37 @@ def main_serve():
     )
 
 
+def main_all():
+    """Run EVERY bench mode in one process (one TPU owner, modes serialized)
+    and emit one JSON line per mode (VERDICT r3 item 6: BENCH_r0N.json
+    records only the default sd15 headline; this gives the full HEAD table
+    for BASELINE.md). Each mode already prints its own line; failures are
+    reported per mode and don't stop the rest."""
+    modes = [
+        ("sd15", main),
+        ("sdxl", main_sdxl),
+        ("flux", main_flux),
+        ("sample", main_sample),
+        ("turbo", main_turbo),
+        ("image", main_image),
+        ("xl1024", main_xl1024),
+        ("invert", main_invert),
+        ("serve", main_serve),
+    ]
+    for name, fn in modes:
+        print(json.dumps({"bench_mode": name}), flush=True)
+        try:
+            fn()
+        except Exception as e:  # record and continue — partial table > none
+            print(json.dumps({"metric": f"{name}_FAILED", "value": None,
+                              "unit": "", "vs_baseline": None,
+                              "error": repr(e)}), flush=True)
+
+
 if __name__ == "__main__":
-    if "--model" in sys.argv and "flux" in sys.argv:
+    if "--all" in sys.argv:
+        main_all()
+    elif "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
     elif "--model" in sys.argv and "sdxl" in sys.argv:
         main_sdxl()

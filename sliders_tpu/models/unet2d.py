@@ -139,6 +139,8 @@ def get_config(name: str) -> UNetConfig:
 def _resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: UNetConfig, lora, name: str) -> jax.Array:
     """diffusers ResnetBlock2D: GN-SiLU-conv ×2 with time-embedding add and
     1x1 shortcut when channels change."""
+    if _fused_resnet_eligible(p, x, lora, name):
+        return _resnet_fused(p, x, emb, cfg, lora, name)
     h = group_norm(p["norm1"], x, cfg.norm_num_groups, silu=True)
     h = conv2d(p["conv1"], h, padding=1, lora=lora, name=f"{name}.conv1")
     temb = linear(p["time_emb_proj"], silu(emb), lora=lora, name=f"{name}.time_emb_proj")
@@ -148,6 +150,70 @@ def _resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: UNetConfig, lora, name: 
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0, lora=lora, name=f"{name}.conv_shortcut")
     return x + h
+
+
+def _fused_resnet_eligible(p, x, lora, name: str) -> bool:
+    """Route this block through the fused GN+SiLU+conv+epilogue kernel?
+    Requires the 'fused' conv impl (ops.basic.set_conv_impl), no LoRA on the
+    block's convs (lierla networks — the flagship text-slider protocol —
+    never target ResnetBlock2D convs; c3lier image sliders fall back), and
+    VMEM-fitting shapes for both convs (pallas_conv.fused_supports)."""
+    impl = basic.conv_impl()
+    if impl not in ("fused", "fused_interpret"):
+        return False
+    if impl == "fused" and jax.default_backend() != "tpu":
+        return False
+    if lora is not None and any(
+        f"{name}.{m}" in lora.weights for m in ("conv1", "conv2")
+    ):
+        return False
+    from sliders_tpu.ops import pallas_conv as pcv
+
+    w1 = p["conv1"]["weight"]
+    w2 = p["conv2"]["weight"]
+    itemsize = x.dtype.itemsize
+    h1_shape = x.shape[:3] + (w1.shape[-1],)
+    return pcv.fused_supports(x.shape, w1.shape, itemsize, "temb") and pcv.fused_supports(
+        h1_shape, w2.shape, itemsize, "residual"
+    )
+
+
+def _resnet_fused(p, x, emb, cfg, lora, name: str) -> jax.Array:
+    """ResnetBlock2D via the fused Pallas conv (pallas_conv.fused_conv3x3):
+    two tiny GN-stats passes + two kernel calls that do normalize+SiLU (in
+    VMEM, once per batch row), the 3x3 MXU conv, and the bias+temb /
+    bias+residual epilogue — the HBM-pass structure XLA's own fused convs
+    achieve, without the round-3 custom-call fusion break (BASELINE.md).
+    Numerics parity vs the plain path is pinned in tests/test_pallas_conv.py."""
+    from sliders_tpu.ops import pallas_conv as pcv
+
+    interp = basic.conv_impl() == "fused_interpret"
+    pcv.set_interpret(interp)
+    g = cfg.norm_num_groups
+    a1, s1 = basic.group_norm_affine(p["norm1"], x, g)
+    temb = linear(p["time_emb_proj"], silu(emb), lora=lora, name=f"{name}.time_emb_proj")
+    h1 = pcv.fused_conv3x3_vjp(
+        x,
+        a1.astype(jnp.float32),
+        s1.astype(jnp.float32),
+        p["conv1"]["weight"].astype(x.dtype),
+        p["conv1"]["bias"].astype(x.dtype),
+        temb.astype(x.dtype),
+        "temb",
+    )
+    a2, s2 = basic.group_norm_affine(p["norm2"], h1, g)
+    res = x
+    if "conv_shortcut" in p:
+        res = conv2d(p["conv_shortcut"], x, padding=0, lora=lora, name=f"{name}.conv_shortcut")
+    return pcv.fused_conv3x3_vjp(
+        h1,
+        a2.astype(jnp.float32),
+        s2.astype(jnp.float32),
+        p["conv2"]["weight"].astype(x.dtype),
+        p["conv2"]["bias"].astype(x.dtype),
+        res.astype(x.dtype),
+        "residual",
+    )
 
 
 def _attention(p: dict, x: jax.Array, context: Optional[jax.Array], heads: int, lora, name: str) -> jax.Array:

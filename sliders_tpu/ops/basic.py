@@ -97,9 +97,17 @@ def _lora_scale(multiplier, alpha, rank, y: jax.Array) -> jax.Array:
 _CONV_IMPL = "xla"
 
 
+def conv_impl() -> str:
+    return _CONV_IMPL
+
+
 def set_conv_impl(impl: str) -> None:
     """'xla' (default): lax.conv everywhere. 'auto': route eligible 3x3
     stride-1 convs to the Pallas kernel (ops/pallas_conv.routed).
+    'fused': route whole ResnetBlock2D GN+SiLU+conv+epilogue chains to the
+    fused Pallas kernel (pallas_conv.fused_conv3x3 — the round-4 rebuttal
+    to the round-3 boundary-fusion loss); 'fused_interpret' is its CPU test
+    hook.
 
     Default is XLA by measured END-TO-END result (BASELINE.md round-3): the
     kernel wins 1.2-1.5x per shape in isolation, but routing it into the
@@ -109,7 +117,7 @@ def set_conv_impl(impl: str) -> None:
     read-modify-write passes outweigh the MXU win. Kept as an opt-in
     experiment; takes effect on the next trace."""
     global _CONV_IMPL
-    assert impl in ("auto", "xla", "interpret"), impl
+    assert impl in ("auto", "xla", "interpret", "fused", "fused_interpret"), impl
     _CONV_IMPL = impl
 
 
@@ -232,6 +240,28 @@ def group_norm(
     if silu:
         out = jax.nn.silu(out)
     return out
+
+
+def group_norm_affine(
+    p: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5
+) -> tuple[jax.Array, jax.Array]:
+    """GN folded into per-(batch, channel) affine vectors: returns (a, s)
+    with GN(x)*gamma+beta == x*a + s. The tiny stats pass XLA must run
+    anyway; the normalize+affine+SiLU elementwise work then happens INSIDE
+    the fused resnet conv kernel (ops/pallas_conv.fused_conv3x3), matching
+    XLA's conv prologue fusions across the custom-call boundary."""
+    B, H, W, C = x.shape
+    gs = C // num_groups
+    xg = x.reshape(B, H * W, num_groups, gs).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3))  # (B, G)
+    rstd = jax.lax.rsqrt(xg.var(axis=(1, 3)) + eps)
+    mean_c = jnp.repeat(mean, gs, axis=-1)  # (B, C)
+    rstd_c = jnp.repeat(rstd, gs, axis=-1)
+    gamma = p["weight"].astype(jnp.float32)[None]
+    beta = p["bias"].astype(jnp.float32)[None]
+    a = rstd_c * gamma
+    s = beta - mean_c * rstd_c * gamma
+    return a, s
 
 
 def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:

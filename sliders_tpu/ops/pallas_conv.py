@@ -185,3 +185,210 @@ def _conv3x3_vjp_bwd(res, g):
 
 
 conv3x3_vjp.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused-epilogue resnet conv (round-4 experiment, VERDICT r3 item 1)
+# ---------------------------------------------------------------------------
+# Round 3's honest e2e A/B showed the plain kernel LOSES ~5.5% despite
+# winning 1.2-1.5x per shape: the custom-call boundary breaks XLA's
+# conv+GN-affine+SiLU prologue and bias/temb/residual epilogue fusions, so
+# every routed conv paid extra full HBM passes. This kernel is the direct
+# rebuttal: it consumes the RAW pre-GN tensor plus per-(batch,channel)
+# affine vectors (one tiny stats pass outside), applies normalize+SiLU into
+# a zero-ringed VMEM scratch ONCE per batch row (grid is (B, n_tiles) with
+# the tile index minor; scratch persists across tiles), runs the 9-shift
+# MXU accumulation, and fuses the bias plus either the time-embedding row
+# (ResnetBlock2D conv1) or the residual tensor (conv2) into the f32
+# accumulator — HBM pass-parity with XLA's fused convolutions, with the
+# kernel's measured per-shape MXU win on top. Reference context: this is
+# the hot path of trainscripts/textsliders/train_util.py:145-171's UNet.
+
+
+def _fused_kernel(x_ref, a_ref, s_ref, w_ref, b_ref, e_ref, o_ref, pre_ref,
+                  *, H: int, W: int, mode: str):
+    """One (batch, N-tile) program.
+    x_ref (1,H,W,C) raw pre-GN input; a_ref/s_ref (1,1,C) per-batch affine
+    (the extra unit dim satisfies Mosaic's second-minor block constraint);
+    w_ref (3,3,C,TN); b_ref (1,TN) bias; e_ref: (1,1,TN) temb row |
+    (1,H,W,TN) residual | (1,1,TN) zeros (mode 'none'); pre_ref:
+    (H+2,W+2,C) scratch holding silu(x*a+s) with a zero ring (SAME-conv
+    padding happens in the NORMALIZED space, matching XLA's
+    conv(silu(GN(x))))."""
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as pl
+
+    tn = o_ref.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _prologue():
+        pre_ref[...] = _jnp.zeros_like(pre_ref)
+        a = a_ref[0].astype(_jnp.float32)
+        s = s_ref[0].astype(_jnp.float32)
+        # 8-row slabs: bounds the f32 normalize temporary at 8*W*C instead
+        # of H*W*C (the whole-image temp OOM'd scoped vmem at C=960)
+        for r0 in range(0, H, 8):
+            rows = min(8, H - r0)
+            xa = x_ref[0, r0 : r0 + rows].astype(_jnp.float32) * a + s
+            pre_ref[1 + r0 : 1 + r0 + rows, 1 : W + 1, :] = (
+                xa * jax.nn.sigmoid(xa)
+            ).astype(pre_ref.dtype)
+
+    acc = b_ref[...].astype(_jnp.float32)  # (1, tn) broadcasts over rows
+    if mode == "temb":
+        acc = acc + e_ref[0].astype(_jnp.float32)
+    acc = _jnp.broadcast_to(acc, (H * W, tn))
+    if mode == "residual":
+        acc = acc + e_ref[0].reshape(H * W, tn).astype(_jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = pre_ref[dy : dy + H, dx : dx + W, :].reshape(H * W, -1)
+            acc = acc + jax.lax.dot(
+                xs, w_ref[dy, dx], preferred_element_type=_jnp.float32
+            )
+    o_ref[0] = acc.reshape(H, W, tn).astype(o_ref.dtype)
+
+
+_FUSED_VMEM_LIMIT = 12 * 2**20  # scoped-vmem hard limit is 16M; headroom
+
+
+def _pick_tn_fused(H: int, W: int, C: int, N: int, itemsize: int, mode: str) -> int:
+    """Like _pick_tn, with the normalized-input scratch, Mosaic sublane
+    padding, and the prologue slab temporary accounted for (the first
+    budget missed the f32 normalize temp and OOM'd scoped vmem at C=960)."""
+
+    def pad8(n):
+        return -(-n // 8) * 8
+
+    x_bytes = 2 * itemsize * H * pad8(W) * C  # raw input block, double-buffered
+    pre_bytes = itemsize * (H + 2) * pad8(W + 2) * C  # persistent scratch
+    slab_bytes = 2 * 4 * 8 * pad8(W) * C  # f32 normalize slab (in + out temps)
+    np_ = _n_pad(N)
+    tn = np_
+    while tn >= LANES:
+        if np_ % tn == 0:
+            need = (
+                x_bytes
+                + pre_bytes
+                + slab_bytes
+                + 2 * itemsize * 9 * C * tn
+                + 2 * itemsize * H * pad8(W) * tn  # out tile
+                + 4 * H * W * tn  # f32 accumulator
+            )
+            if mode == "residual":
+                need += 2 * itemsize * H * pad8(W) * tn
+            if need <= _FUSED_VMEM_LIMIT:
+                return tn
+        tn -= LANES
+    return 0
+
+
+def fused_supports(x_shape, w_shape, itemsize: int = 2, mode: str = "none") -> bool:
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    kh, kw, C, N = w_shape
+    B, H, W, Cx = x_shape
+    if (kh, kw) != (3, 3) or Cx != C or C < 64 or N < LANES:
+        return False
+    if (H * W) % 8 != 0 or H * W < 256:  # 8x8 shapes stay with XLA (round-3 A/B)
+        return False
+    return _pick_tn_fused(H, W, C, N, itemsize, mode) > 0
+
+
+def fused_conv3x3(x, a, s, w, b, extra=None, *, mode: str = "none",
+                  interpret: bool = False):
+    """silu(x*a + s) -> 3x3 SAME conv -> + b [+ temb row | + residual].
+
+    x (B,H,W,C) raw pre-GN; a/s (B,C) per-batch GN affine fold
+    (a = gamma*rstd, s = beta - mean*rstd*gamma); extra: (B,N) time-emb rows
+    for mode='temb', (B,H,W,N) residual for mode='residual'."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    N = w.shape[-1]
+    tn = _pick_tn_fused(H, W, C, N, x.dtype.itemsize, mode)
+    assert tn > 0, "caller must gate on fused_supports()"
+    np_ = _n_pad(N)
+    if np_ != N:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, np_ - N)))
+        b = jnp.pad(b, ((0, np_ - N),))
+        if mode == "temb":
+            extra = jnp.pad(extra, ((0, 0), (0, np_ - N)))
+        elif mode == "residual":
+            extra = jnp.pad(extra, ((0, 0), (0, 0), (0, 0), (0, np_ - N)))
+    if extra is None:
+        extra = jnp.zeros((B, np_), x.dtype)
+    b2 = b.reshape(1, np_)
+    # per-batch vectors ride as (B, 1, C): Mosaic requires the block's
+    # second-minor dim be a multiple of 8 or the FULL array dim — (1, C)
+    # blocks over a (B, C) array violate that for B > 1
+    a3 = a.reshape(B, 1, C)
+    s3 = s.reshape(B, 1, C)
+    if mode == "residual":
+        e_in = extra
+        e_spec = pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j))
+    else:
+        e_in = extra.reshape(B, 1, np_)
+        e_spec = pl.BlockSpec((1, 1, tn), lambda bi, j: (bi, 0, j))
+    kernel = _ft.partial(_fused_kernel, H=H, W=W, mode=mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda bi, j: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda bi, j: (bi, 0, 0)),
+            pl.BlockSpec((3, 3, C, tn), lambda bi, j: (0, 0, 0, j)),
+            pl.BlockSpec((1, tn), lambda bi, j: (0, j)),
+            e_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((H + 2, W + 2, C), x.dtype)],
+        interpret=interpret,
+    )(x, a3, s3, w, b2, e_in)
+    return out if np_ == N else out[..., :N]
+
+
+def _fused_ref(x, a, s, w, b, extra, mode):
+    """Pure-XLA reference of the fused op (VJP recompute + parity tests)."""
+    xa = x.astype(jnp.float32) * a[:, None, None, :].astype(jnp.float32) \
+        + s[:, None, None, :].astype(jnp.float32)
+    pre = (xa * jax.nn.sigmoid(xa)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        pre, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + b.astype(x.dtype)
+    if mode == "temb":
+        y = y + extra[:, None, None, :].astype(x.dtype)
+    elif mode == "residual":
+        y = y + extra.astype(x.dtype)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_conv3x3_vjp(x, a, s, w, b, extra, mode):
+    """Fused kernel forward with an XLA-recompute backward (same discipline
+    as conv3x3_vjp: XLA emits the two backward convs well, and in LoRA-only
+    train steps the frozen w/b/a/s grads are dead code XLA prunes)."""
+    return fused_conv3x3(x, a, s, w, b, extra, mode=mode, interpret=_INTERPRET)
+
+
+def _fused_vjp_fwd(x, a, s, w, b, extra, mode):
+    return (
+        fused_conv3x3(x, a, s, w, b, extra, mode=mode, interpret=_INTERPRET),
+        (x, a, s, w, b, extra),
+    )
+
+
+def _fused_vjp_bwd(mode, res, g):
+    x, a, s, w, b, extra = res
+    _, vjp = jax.vjp(lambda *args: _fused_ref(*args, mode), x, a, s, w, b, extra)
+    return vjp(g)
+
+
+fused_conv3x3_vjp.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
