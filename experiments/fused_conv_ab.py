@@ -84,7 +84,7 @@ def micro():
         x0 = jax.random.normal(jax.random.fold_in(k, 6), (B, H, W, C), jnp.bfloat16)
 
         results = {}
-        for impl in ("xla", "fused"):
+        for impl in ARMS:
             basic.set_conv_impl(impl)
 
             @jax.jit
@@ -119,13 +119,6 @@ def e2e():
     )
     schedule = make_schedule()
     sampler = make_sampler(schedule, "ddim", num_steps=50)
-    lora = lnet.create_slider_network(
-        jax.random.key(1), unet_params, rank=4, alpha=1.0, train_method="noxattn"
-    )
-    optimizer = opt_factory.make_optimizer(
-        "adamw", opt_factory.make_lr_schedule("constant", 2e-4, 1000),
-        trainable_mask=lnet.trainable_mask(lora),
-    )
     chunk = 10
     ks = jax.random.split(jax.random.key(3), 4)
     pairs = stack_prompt_pairs([{
@@ -137,8 +130,18 @@ def e2e():
     }])
 
     steps, states = {}, {}
-    for impl in ("xla", "fused"):
+    for impl in ARMS:
         basic.set_conv_impl(impl)
+        # fresh LoRA per arm: the step donates its state, so sharing one
+        # tree across arms would reference deleted buffers
+        lora = lnet.create_slider_network(
+            jax.random.key(1), unet_params, rank=4, alpha=1.0,
+            train_method="noxattn",
+        )
+        optimizer = opt_factory.make_optimizer(
+            "adamw", opt_factory.make_lr_schedule("constant", 2e-4, 1000),
+            trainable_mask=lnet.trainable_mask(lora),
+        )
         step = make_text_slider_step(
             cfg, schedule, sampler, optimizer,
             max_denoising_steps=50, resolution=512, batch_size=1,
@@ -155,9 +158,9 @@ def e2e():
         basic.set_conv_impl("xla")
 
     # interleaved best-of-6 single chunked calls per impl
-    best = {"xla": float("inf"), "fused": float("inf")}
+    best = {impl: float("inf") for impl in ARMS}
     for rnd in range(6):
-        for impl in ("xla", "fused"):
+        for impl in ARMS:
             t0 = time.perf_counter()
             states[impl], m = steps[impl](states[impl], unet_params, pairs)
             _ = np.asarray(m["loss"])
@@ -166,14 +169,22 @@ def e2e():
             log(f"round {rnd} {impl}: {chunk/dt:.4f} steps/s")
     print(json.dumps({
         "phase": "e2e_sd15_train",
-        "xla_steps_per_sec": round(chunk / best["xla"], 4),
-        "fused_steps_per_sec": round(chunk / best["fused"], 4),
-        "speedup": round(best["xla"] / best["fused"], 4),
+        **{f"{impl}_steps_per_sec": round(chunk / best[impl], 4) for impl in ARMS},
+        **{f"{impl}_speedup": round(best["xla"] / best[impl], 4)
+           for impl in ARMS if impl != "xla"},
     }), flush=True)
 
 
+ARMS = ("xla", "fused", "fused_ep")
+
+
 if __name__ == "__main__":
-    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    micro()
+    import sys
+
+    if "--arms" in sys.argv:
+        ARMS = tuple(sys.argv[sys.argv.index("--arms") + 1].split(","))
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()} arms: {ARMS}")
+    if "--e2e-only" not in sys.argv:
+        micro()
     e2e()
     log("done")

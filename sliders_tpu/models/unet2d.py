@@ -141,15 +141,59 @@ def _resnet(p: dict, x: jax.Array, emb: jax.Array, cfg: UNetConfig, lora, name: 
     1x1 shortcut when channels change."""
     if _fused_resnet_eligible(p, x, lora, name):
         return _resnet_fused(p, x, emb, cfg, lora, name)
+    ep = _epi_conv_router(p, x, lora, name)
     h = group_norm(p["norm1"], x, cfg.norm_num_groups, silu=True)
-    h = conv2d(p["conv1"], h, padding=1, lora=lora, name=f"{name}.conv1")
     temb = linear(p["time_emb_proj"], silu(emb), lora=lora, name=f"{name}.time_emb_proj")
-    h = h + temb[:, None, None, :]
-    h = group_norm(p["norm2"], h, cfg.norm_num_groups, silu=True)
-    h = conv2d(p["conv2"], h, padding=1, lora=lora, name=f"{name}.conv2")
+    if ep is not None and ep(h.shape, p["conv1"]["weight"].shape, "temb"):
+        h = ep.call(p["conv1"], h, temb.astype(h.dtype), "temb")
+    else:
+        h = conv2d(p["conv1"], h, padding=1, lora=lora, name=f"{name}.conv1")
+        h = h + temb[:, None, None, :]
+    h2 = group_norm(p["norm2"], h, cfg.norm_num_groups, silu=True)
+    res = x
     if "conv_shortcut" in p:
-        x = conv2d(p["conv_shortcut"], x, padding=0, lora=lora, name=f"{name}.conv_shortcut")
-    return x + h
+        res = conv2d(p["conv_shortcut"], x, padding=0, lora=lora, name=f"{name}.conv_shortcut")
+    if ep is not None and ep(h2.shape, p["conv2"]["weight"].shape, "residual"):
+        return ep.call(p["conv2"], h2, res.astype(h2.dtype), "residual")
+    h2 = conv2d(p["conv2"], h2, padding=1, lora=lora, name=f"{name}.conv2")
+    return res + h2
+
+
+class _EpiRouter:
+    """Per-conv routing for the epilogue-only fused kernel: each of the
+    block's two convs independently takes the kernel when its shape fits
+    the VMEM plan (pallas_conv.epi_supports), else the plain XLA path."""
+
+    def __init__(self, itemsize: int):
+        from sliders_tpu.ops import pallas_conv as pcv
+
+        self._pcv = pcv
+        self._itemsize = itemsize
+
+    def __call__(self, x_shape, w_shape, mode: str) -> bool:
+        return self._pcv.epi_supports(x_shape, w_shape, self._itemsize, mode)
+
+    def call(self, conv_p, h, extra, mode: str):
+        return self._pcv.epi_conv3x3_vjp(
+            h, conv_p["weight"].astype(h.dtype),
+            conv_p["bias"].astype(h.dtype), extra, mode,
+        )
+
+
+def _epi_conv_router(p, x, lora, name: str):
+    impl = basic.conv_impl()
+    if not impl.startswith("fused_ep"):
+        return None
+    if impl == "fused_ep" and jax.default_backend() != "tpu":
+        return None
+    if lora is not None and any(
+        f"{name}.{m}" in lora.weights for m in ("conv1", "conv2")
+    ):
+        return None
+    from sliders_tpu.ops import pallas_conv as pcv
+
+    pcv.set_interpret(impl.endswith("interpret"))
+    return _EpiRouter(x.dtype.itemsize)
 
 
 def _fused_resnet_eligible(p, x, lora, name: str) -> bool:
@@ -187,8 +231,8 @@ def _resnet_fused(p, x, emb, cfg, lora, name: str) -> jax.Array:
     Numerics parity vs the plain path is pinned in tests/test_pallas_conv.py."""
     from sliders_tpu.ops import pallas_conv as pcv
 
-    interp = basic.conv_impl() == "fused_interpret"
-    pcv.set_interpret(interp)
+    impl = basic.conv_impl()
+    pcv.set_interpret(impl.endswith("interpret"))
     g = cfg.norm_num_groups
     a1, s1 = basic.group_norm_affine(p["norm1"], x, g)
     temb = linear(p["time_emb_proj"], silu(emb), lora=lora, name=f"{name}.time_emb_proj")

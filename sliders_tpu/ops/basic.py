@@ -117,7 +117,11 @@ def set_conv_impl(impl: str) -> None:
     read-modify-write passes outweigh the MXU win. Kept as an opt-in
     experiment; takes effect on the next trace."""
     global _CONV_IMPL
-    assert impl in ("auto", "xla", "interpret", "fused", "fused_interpret"), impl
+    assert impl in (
+        "auto", "xla", "interpret",
+        "fused", "fused_interpret",          # prologue+epilogue variant
+        "fused_ep", "fused_ep_interpret",    # epilogue-only variant
+    ), impl
     _CONV_IMPL = impl
 
 

@@ -392,3 +392,143 @@ def _fused_vjp_bwd(mode, res, g):
 
 
 fused_conv3x3_vjp.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# epilogue-only fused conv (round-4 experiment, variant B)
+# ---------------------------------------------------------------------------
+# The full prologue+epilogue fusion above measured 0.983x e2e (interleaved
+# A/B, /tmp/fused_ab round-4) — the scratch prologue + tn=128 VMEM squeeze
+# gave back more than the fused passes saved. This variant keeps the plain
+# kernel's input path (silu'd GN output materialized by one XLA fusion,
+# padded outside) and fuses ONLY the output epilogue (bias + temb row or
+# residual) — the round-3 loss's other half — with the plain kernel's VMEM
+# budget, which also covers the 64x64 L0 level the full fusion could not.
+
+
+def _epi_kernel(x_ref, w_ref, b_ref, e_ref, o_ref, *, H: int, W: int, mode: str):
+    import jax.numpy as _jnp
+
+    tn = o_ref.shape[-1]
+    acc = b_ref[...].astype(_jnp.float32)
+    if mode == "temb":
+        acc = acc + e_ref[0].astype(_jnp.float32)
+    acc = _jnp.broadcast_to(acc, (H * W, tn))
+    if mode == "residual":
+        acc = acc + e_ref[0].reshape(H * W, tn).astype(_jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_ref[0, dy : dy + H, dx : dx + W, :].reshape(H * W, -1)
+            acc = acc + jax.lax.dot(
+                xs, w_ref[dy, dx], preferred_element_type=_jnp.float32
+            )
+    o_ref[0] = acc.reshape(H, W, tn).astype(o_ref.dtype)
+
+
+def _pick_tn_epi(H, W, C, N, itemsize, mode):
+    def pad8(n):
+        return -(-n // 8) * 8
+
+    np_ = _n_pad(N)
+    tn = np_
+    while tn >= LANES:
+        if np_ % tn == 0:
+            need = (
+                2 * itemsize * (H + 2) * pad8(W + 2) * C
+                + 2 * itemsize * 9 * C * tn
+                + 2 * itemsize * H * pad8(W) * tn
+                + 4 * H * W * tn
+            )
+            if mode == "residual":
+                need += 2 * itemsize * H * pad8(W) * tn
+            if need <= _FUSED_VMEM_LIMIT:
+                return tn
+        tn -= LANES
+    return 0
+
+
+def epi_supports(x_shape, w_shape, itemsize: int = 2, mode: str = "none") -> bool:
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    kh, kw, C, N = w_shape
+    B, H, W, Cx = x_shape
+    if (kh, kw) != (3, 3) or Cx != C or C < 64 or N < LANES:
+        return False
+    if (H * W) % 8 != 0 or H * W < 256:
+        return False
+    return _pick_tn_epi(H, W, C, N, itemsize, mode) > 0
+
+
+def epi_conv3x3(x, w, b, extra=None, *, mode: str = "none", interpret: bool = False):
+    """3x3 SAME conv of the (already silu'd) input with the bias+temb /
+    bias+residual epilogue fused into the accumulator."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    B, H, W, C = x.shape
+    N = w.shape[-1]
+    tn = _pick_tn_epi(H, W, C, N, x.dtype.itemsize, mode)
+    assert tn > 0, "caller must gate on epi_supports()"
+    np_ = _n_pad(N)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if np_ != N:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, np_ - N)))
+        b = jnp.pad(b, ((0, np_ - N),))
+        if mode == "temb":
+            extra = jnp.pad(extra, ((0, 0), (0, np_ - N)))
+        elif mode == "residual":
+            extra = jnp.pad(extra, ((0, 0), (0, 0), (0, 0), (0, np_ - N)))
+    if extra is None:
+        extra = jnp.zeros((B, np_), x.dtype)
+    b2 = b.reshape(1, np_)
+    if mode == "residual":
+        e_in = extra
+        e_spec = pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j))
+    else:
+        e_in = extra.reshape(B, 1, np_)
+        e_spec = pl.BlockSpec((1, 1, tn), lambda bi, j: (bi, 0, j))
+    out = pl.pallas_call(
+        _ft.partial(_epi_kernel, H=H, W=W, mode=mode),
+        grid=(B, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, C), lambda bi, j: (bi, 0, 0, 0)),
+            pl.BlockSpec((3, 3, C, tn), lambda bi, j: (0, 0, 0, j)),
+            pl.BlockSpec((1, tn), lambda bi, j: (0, j)),
+            e_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, W, tn), lambda bi, j: (bi, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, np_), x.dtype),
+        interpret=interpret,
+    )(xp, w, b2, e_in)
+    return out if np_ == N else out[..., :N]
+
+
+def _epi_ref(x, w, b, extra, mode):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b.astype(x.dtype)
+    if mode == "temb":
+        y = y + extra[:, None, None, :].astype(x.dtype)
+    elif mode == "residual":
+        y = y + extra.astype(x.dtype)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def epi_conv3x3_vjp(x, w, b, extra, mode):
+    return epi_conv3x3(x, w, b, extra, mode=mode, interpret=_INTERPRET)
+
+
+def _epi_vjp_fwd(x, w, b, extra, mode):
+    return epi_conv3x3(x, w, b, extra, mode=mode, interpret=_INTERPRET), (x, w, b, extra)
+
+
+def _epi_vjp_bwd(mode, res, g):
+    x, w, b, extra = res
+    _, vjp = jax.vjp(lambda *args: _epi_ref(*args, mode), x, w, b, extra)
+    return vjp(g)
+
+
+epi_conv3x3_vjp.defvjp(_epi_vjp_fwd, _epi_vjp_bwd)

@@ -207,3 +207,74 @@ def test_fused_eligibility_gates():
         assert not pc.fused_supports((1, 8, 8, 64), (3, 3, 64, 128), 4, "none")
     finally:
         basic.set_conv_impl("xla")
+
+
+@pytest.mark.parametrize("mode", ["temb", "residual"])
+def test_epi_conv3x3_parity_interpret(mode):
+    """Epilogue-only fused conv (variant B) vs its XLA reference."""
+    k = jax.random.key(0)
+    B, H, W, C, N = 2, 8, 32, 64, 128
+    x = jax.random.normal(jax.random.fold_in(k, 1), (B, H, W, C), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 2), (3, 3, C, N), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.fold_in(k, 3), (N,), jnp.float32)
+    extra = (
+        jax.random.normal(jax.random.fold_in(k, 4), (B, N), jnp.float32)
+        if mode == "temb"
+        else jax.random.normal(jax.random.fold_in(k, 5), (B, H, W, N), jnp.float32)
+    )
+    assert pc.epi_supports(x.shape, w.shape, 4, mode)
+    got = pc.epi_conv3x3(x, w, b, extra, mode=mode, interpret=True)
+    want = pc._epi_ref(x, w, b, extra, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_epi_resnet_block_parity_and_grad_interpret():
+    """The per-conv epilogue routing inside _resnet (impl 'fused_ep'): value
+    + input-grad parity with the plain path, including the mixed case where
+    one conv takes the kernel and the other falls back."""
+    import dataclasses
+
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.ops import basic
+
+    k = jax.random.key(1)
+    B, H, W, C, N = 2, 8, 32, 64, 128
+
+    def dense_conv(kk, kh, kw, ci, co):
+        return {
+            "weight": jax.random.normal(kk, (kh, kw, ci, co), jnp.float32)
+            * (ci * kh * kw) ** -0.5,
+            "bias": 0.1 * jax.random.normal(jax.random.fold_in(kk, 9), (co,)),
+        }
+
+    p = {
+        "norm1": {"weight": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 1), (C,)),
+                  "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 2), (C,))},
+        "conv1": dense_conv(jax.random.fold_in(k, 3), 3, 3, C, N),
+        "time_emb_proj": {
+            "weight": jax.random.normal(jax.random.fold_in(k, 4), (16, N)) * 0.25,
+            "bias": jnp.zeros((N,)),
+        },
+        "norm2": {"weight": 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(k, 5), (N,)),
+                  "bias": 0.1 * jax.random.normal(jax.random.fold_in(k, 6), (N,))},
+        "conv2": dense_conv(jax.random.fold_in(k, 7), 3, 3, N, N),
+        "conv_shortcut": dense_conv(jax.random.fold_in(k, 8), 1, 1, C, N),
+    }
+    x = jax.random.normal(jax.random.fold_in(k, 10), (B, H, W, C), jnp.float32)
+    emb = jax.random.normal(jax.random.fold_in(k, 11), (B, 16), jnp.float32)
+    rcfg = dataclasses.replace(unet2d.TINY, norm_num_groups=8)
+
+    def run(xx):
+        return unet2d._resnet(p, xx, emb, rcfg, None, "blk")
+
+    plain = run(x)
+    plain_g = jax.grad(lambda xx: (run(xx) ** 2).sum())(x)
+    try:
+        basic.set_conv_impl("fused_ep_interpret")
+        ep = run(x)
+        ep_g = jax.grad(lambda xx: (run(xx) ** 2).sum())(x)
+    finally:
+        basic.set_conv_impl("xla")
+        pc.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(plain), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ep_g), np.asarray(plain_g), atol=5e-3, rtol=1e-2)
