@@ -754,6 +754,139 @@ def main_serve():
     )
 
 
+def main_serve_flux():
+    """FLUX serving latency through the full HTTP stack (FluxSliderEngine:
+    CLIP-pooled + T5 encode -> guidance-embed flow-matching denoise ->
+     16ch-VAE decode -> PNG), on the same layer-reduced FLUX as
+    `--model flux` (full FLUX-dev exceeds one v5e's HBM; the serving path
+    is identical, the block count is not). Random full-size weights are
+    compute-equivalent. Phases: warm 3-scale solo request, then a
+    2-request cross-slider coalesce (stacked adapters through the MMDiT)."""
+    import os
+    import tempfile
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import clip_text, flux, t5 as t5_mod, vae
+    from sliders_tpu.models.loader import FluxModels, TextEncoderBundle
+    from sliders_tpu.serving.server import FluxSliderEngine, make_http_server
+    from sliders_tpu.text.tokenizer import ClipTokenizer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from helpers import make_t5_fast_tokenizer, make_tokenizer_files
+
+    tok_dir = os.path.join(tempfile.gettempdir(), "bench_serve_tok")
+    if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        make_tokenizer_files(tok_dir)
+    tokenizer = ClipTokenizer.from_pretrained(tok_dir)
+    tokenizer.model_max_length = clip_text.CLIP_L.max_positions
+    t5_tok_dir = os.path.join(tempfile.gettempdir(), "bench_serve_t5_tok")
+    make_t5_fast_tokenizer(t5_tok_dir)
+    import transformers
+
+    t5_tok = transformers.T5TokenizerFast.from_pretrained(t5_tok_dir)
+
+    cfg = flux.FluxConfig(num_layers=4, num_single_layers=8)
+    t5_cfg = t5_mod.T5Config(
+        vocab_size=32, d_model=cfg.joint_attention_dim, d_kv=64, d_ff=4096,
+        num_layers=2, num_heads=8,
+    )
+    tparams = jax.jit(lambda k: flux.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    te_params = jax.jit(lambda k: clip_text.init_params(k, clip_text.CLIP_L))(
+        jax.random.key(1)
+    )
+    t5_params = jax.jit(lambda k: t5_mod.init_params(k, t5_cfg))(jax.random.key(2))
+    vae_params = jax.jit(
+        lambda k: vae.init_params(k, vae.FLUX_VAE, dtype=jnp.bfloat16)
+    )(jax.random.key(3))
+    models = FluxModels(
+        tparams, cfg,
+        TextEncoderBundle(tokenizer, te_params, clip_text.CLIP_L),
+        t5_params, t5_cfg, t5_tok,
+        vae_params=vae_params, vae_config=vae.FLUX_VAE,
+    )
+    engine = FluxSliderEngine(
+        models,
+        steps=int(os.environ.get("BENCH_SERVE_STEPS", "30")),
+        image_size=int(os.environ.get("BENCH_SERVE_SIZE", "512")),
+        buckets=(4,),
+    )
+    for i, name in enumerate(("age", "smile")):
+        engine.register_slider(name, lnet.create_slider_network(
+            jax.random.key(10 + i), tparams, rank=4, train_method="xattn",
+            ortho_up=True,
+        ))
+    server = make_http_server(engine, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    import http.client
+
+    def request(seed, slider="age", scales=(-4, 0, 4)):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=3000)
+        conn.request("POST", "/generate", body=json.dumps(
+            {"prompt": "photo of a person", "slider": slider,
+             "scales": list(scales), "seed": seed}
+        ))
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200, out
+        return out
+
+    request(0)  # compile + warm (solo 3-scale -> bucket 4)
+    seed = [1]
+
+    def run_once():
+        request(seed[0])
+        seed[0] += 1
+
+    dt = best_sample(run_once)
+
+    # cross-slider coalesce: 2 concurrent 2-scale requests, different
+    # sliders -> ONE stacked denoise
+    engine.warmup(with_slider="age", n_scales=2, multi_tenant=True)
+    mt_batches0 = engine.stats["batches"]
+
+    def mt_round(seed0):
+        outs, errs = [None, None], []
+
+        def go(i, name):
+            try:
+                outs[i] = request(seed0 + i, slider=name, scales=(0, 2))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=go, args=(i, n))
+              for i, n in enumerate(("age", "smile"))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
+    t0 = _time.perf_counter()
+    for r in range(SAMPLES):
+        mt_round(100 + 10 * r)
+    mt_dt = (_time.perf_counter() - t0) / SAMPLES
+    mt_batches = engine.stats["batches"] - mt_batches0
+    engine.close()
+    print(json.dumps({
+        "metric": "serve_flux_3scale_512px_request_latency",
+        "value": round(dt * 1000, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "images_per_sec": round(3 / dt, 2),
+        "mt_2req_2slider_images_per_sec": round(4 / mt_dt, 2),
+        "mt_denoise_batches_per_round": round(mt_batches / SAMPLES, 2),
+    }))
+
+
 def main_all():
     """Run EVERY bench mode in one process (one TPU owner, modes serialized)
     and emit one JSON line per mode (VERDICT r3 item 6: BENCH_r0N.json
@@ -770,6 +903,7 @@ def main_all():
         ("xl1024", main_xl1024),
         ("invert", main_invert),
         ("serve", main_serve),
+        ("serve_flux", main_serve_flux),
     ]
     for name, fn in modes:
         print(json.dumps({"bench_mode": name}), flush=True)
@@ -798,6 +932,8 @@ if __name__ == "__main__":
         main_xl1024()
     elif "--model" in sys.argv and "invert" in sys.argv:
         main_invert()
+    elif "--model" in sys.argv and "serve_flux" in sys.argv:
+        main_serve_flux()
     elif "--model" in sys.argv and "serve" in sys.argv:
         main_serve()
     else:
