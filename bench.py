@@ -149,6 +149,119 @@ def main():
     print(steps_line("sd15_text_slider_train_steps_per_sec_chip", value))
 
 
+def main_fleet(n_sliders: int = None):
+    """Fleet training (training/fleet.py): N independent SD1.5 sliders in
+    ONE jitted step (per-row stacked LoRA). Times the SOLO step first
+    (program shared with the default sd15 mode, so it is compile-cached),
+    then the fleet step, and reports AGGREGATE slider-steps/sec with the
+    honest speedup vs training the N sliders sequentially.
+    BENCH_FLEET_K overrides the fleet size (default 4)."""
+    import os
+
+    import numpy as np
+
+    if n_sliders is None:
+        n_sliders = int(os.environ.get("BENCH_FLEET_K", "4"))
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.fleet import (
+        make_fleet_text_step,
+        stack_fleet,
+        stack_fleet_pairs,
+    )
+    from sliders_tpu.training.text_slider import (
+        SliderTrainState,
+        make_text_slider_step,
+        stack_prompt_pairs,
+    )
+
+    cfg = unet2d.SD15
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    loras = [
+        lnet.create_slider_network(
+            jax.random.fold_in(jax.random.key(1), r), unet_params,
+            rank=4, alpha=1.0, train_method="noxattn",
+        )
+        for r in range(n_sliders)
+    ]
+    lr = opt_factory.make_lr_schedule("constant", 2e-4, 1000)
+    chunk = 10
+
+    ks = jax.random.split(jax.random.key(3), 4)
+    pair = {
+        "target": jax.random.normal(ks[0], (77, 768), jnp.bfloat16),
+        "positive": jax.random.normal(ks[1], (77, 768), jnp.bfloat16),
+        "neutral": jax.random.normal(ks[2], (77, 768), jnp.bfloat16),
+        "unconditional": jax.random.normal(ks[3], (77, 768), jnp.bfloat16),
+        "guidance_signed": jnp.asarray(4.0),
+    }
+    pairs_solo = stack_prompt_pairs([pair])
+
+    # ---- solo reference rate (same program as the sd15 mode) ----
+    solo_opt = opt_factory.make_optimizer(
+        "adamw", lr, trainable_mask=lnet.trainable_mask(loras[0])
+    )
+    solo_step = make_text_slider_step(
+        cfg, schedule, sampler, solo_opt,
+        max_denoising_steps=50, resolution=512, batch_size=1,
+        compute_dtype=jnp.bfloat16, remat=False, donate=True, chunk=chunk,
+    )
+    state = SliderTrainState.create(jax.random.key(2), loras[0], solo_opt)
+    state, metrics = solo_step(state, unet_params, pairs_solo)
+    _ = np.asarray(metrics["loss"])
+
+    def solo_once():
+        nonlocal state, metrics
+        state, metrics = solo_step(state, unet_params, pairs_solo)
+        _ = np.asarray(metrics["loss"])
+
+    solo_rate = chunk / best_sample(solo_once, samples=5)
+
+    # ---- fleet rate ----
+    fleet_tree = stack_fleet(loras)
+    fleet_opt = opt_factory.make_optimizer(
+        "adamw", lr, trainable_mask=lnet.trainable_mask(fleet_tree)
+    )
+    fleet_step = make_fleet_text_step(
+        cfg, schedule, sampler, fleet_opt,
+        n_sliders=n_sliders, max_denoising_steps=50, resolution=512,
+        batch_size=1, compute_dtype=jnp.bfloat16, remat=False, donate=True,
+        chunk=chunk,
+    )
+    fstate = SliderTrainState.create(jax.random.key(2), fleet_tree, fleet_opt)
+    fpairs = stack_fleet_pairs([pairs_solo] * n_sliders)
+    fstate, fmetrics = fleet_step(fstate, unet_params, fpairs)
+    _ = np.asarray(fmetrics["loss"])
+
+    def fleet_once():
+        nonlocal fstate, fmetrics
+        fstate, fmetrics = fleet_step(fstate, unet_params, fpairs)
+        _ = np.asarray(fmetrics["loss"])
+
+    fleet_iter_rate = chunk / best_sample(fleet_once, samples=5)
+    aggregate = fleet_iter_rate * n_sliders
+    speedup = aggregate / (solo_rate * 1.0)  # vs training the N sequentially
+    projected = 1000.0 / fleet_iter_rate / 60.0  # minutes for N sliders x 1000
+    print(json.dumps({
+        "metric": f"sd15_fleet{n_sliders}_train_slider_steps_per_sec_chip",
+        "value": round(aggregate, 4),
+        "unit": "slider-steps/sec",
+        "vs_baseline": round(speedup, 4),
+        "n_sliders": n_sliders,
+        "solo_steps_per_sec": round(solo_rate, 4),
+        "fleet_iterations_per_sec": round(fleet_iter_rate, 4),
+        "projected_minutes_for_n_sliders_1000_iters": round(projected, 2),
+        "note": "vs_baseline = aggregate speedup vs sequential solo runs",
+    }))
+
+
 def main_flux():
     """Secondary metric: layer-reduced FLUX slider train step (see module
     docstring). Records in BASELINE.md, not the driver headline."""
@@ -896,6 +1009,7 @@ def main_all():
     modes = [
         ("sd15", main),
         ("sdxl", main_sdxl),
+        ("fleet", main_fleet),
         ("flux", main_flux),
         ("sample", main_sample),
         ("turbo", main_turbo),
@@ -918,6 +1032,8 @@ def main_all():
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
+    elif "--model" in sys.argv and "fleet" in sys.argv:
+        main_fleet()
     elif "--model" in sys.argv and "flux" in sys.argv:
         main_flux()
     elif "--model" in sys.argv and "sdxl" in sys.argv:

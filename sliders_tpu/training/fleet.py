@@ -1,0 +1,623 @@
+"""Fleet training: K INDEPENDENT sliders trained in ONE jitted TPU step.
+
+The reference trains one slider per process (trainscripts/textsliders/
+train_lora.py:32-340 — one LoRANetwork monkey-patched into one pipeline), so
+producing the repo's dozens of example sliders (data/prompts-*.yaml) means
+dozens of sequential runs. On TPU the economics invert twice over:
+
+  - batch rows are nearly free MXU work at the reference's batch_size=1
+    (batch-4 costs ~3.65x batch-1, BASELINE.md), so K sliders' iterations
+    can ride ONE UNet call per phase instead of K;
+  - fleet rows are *embarrassingly parallel*: unlike data parallelism
+    (which all-reduces gradients every step), each row's loss/grads/update
+    touch only that row's adapter — sharding the row axis over the mesh
+    `dp` axis trains K sliders with ZERO gradient collectives.
+
+Mechanics: the per-row stacked-LoRA machinery built for multi-tenant
+serving (lora/batch.py + ops/basic.py batched einsum / grouped conv) is
+reused for the *training* pytree — every adapter leaf carries a leading
+(K,) slider axis, and row r of every UNet call applies (and backprops
+into) row r's factors only.
+
+RNG contract: row r's stream is `fold_in(fleet_key, r)` followed by the
+solo per-step folds — so slider r draws the SAME pair index, t_to and
+noise as a solo `make_text_slider_step` run created with
+`key=fold_in(fleet_key, r)`, and its trajectory matches that solo run to
+float tolerance (measured <=2e-6 after two full adamw steps on the
+tiny UNet: the fleet batches 2K/3K/K rows where solo batches 2/3/1, so
+XLA tiles the row-local reductions differently — a few ULP, no semantic
+divergence; rows within one fleet program ARE exactly isolated,
+bit-for-bit). One deliberate structural difference: the partial-denoise
+loop runs to max_r(t_to_r) with per-row freeze masking (a `fori_loop`
+needs one trip count), costing E[max of K uniforms] ≈ 50·K/(K+1)
+iterations instead of E ≈ 25. Both contracts are pinned by
+tests/test_fleet.py.
+
+Supported samplers: ddim / lms (stateless or row-separable carry). The
+ancestral samplers (ddpm / euler_a) draw one noise tensor per *call* from
+a shared key (schedulers.py:164-170), which has no per-row solo-equivalent
+stream; training with them raises NotImplementedError.
+
+Optimizers: per-row independence holds for element-local transforms
+(adam/adamw/lion — the reference default is adamw, train_util.py:336-404).
+prodigy/dadapt estimate a GLOBAL d from the whole tree and would couple
+rows; they are rejected at build time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sliders_tpu.diffusion.guidance import train_grid_tables
+from sliders_tpu.diffusion.schedulers import DiffusionSchedule, Sampler
+from sliders_tpu.models import unet2d
+from sliders_tpu.ops.basic import SliderLora
+from sliders_tpu.training.text_slider import SliderTrainState
+
+
+# ---------------------------------------------------------------------------
+# fleet pytree helpers
+# ---------------------------------------------------------------------------
+
+
+def stack_fleet(loras: Sequence[dict]) -> dict:
+    """Stack K solo adapter trees into one per-row fleet tree.
+
+    Unlike the serving stacker (lora/batch.stack_sliders) this requires
+    IDENTICAL factor shapes (same rank/alpha config — a fleet is one train
+    config over many concepts) and adds no `rank` leaf, so ops/basic falls
+    back to the static `down.shape[-1]` rank and `trainable_mask` covers
+    every leaf."""
+    if not loras:
+        raise ValueError("stack_fleet needs at least one adapter")
+    names = sorted(loras[0])
+    for w in loras[1:]:
+        if sorted(w) != names:
+            raise ValueError("fleet adapters target different module sets")
+    out = {}
+    for name in names:
+        shapes = {tuple(w[name]["down"].shape) for w in loras}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"fleet adapters disagree on {name} down shape: {shapes} "
+                "(fleet training requires one rank for all sliders)"
+            )
+        out[name] = {
+            k: jnp.stack([w[name][k] for w in loras]) for k in ("down", "up", "alpha")
+        }
+    return out
+
+
+def unstack_fleet(stacked: dict) -> list[dict]:
+    """Inverse of `stack_fleet`: fleet tree -> list of K solo trees."""
+    k = next(iter(stacked.values()))["alpha"].shape[0]
+    return [
+        {name: {key: leaf[key][r] for key in ("down", "up", "alpha")}
+         for name, leaf in stacked.items()}
+        for r in range(k)
+    ]
+
+
+def fleet_size(stacked: dict) -> int:
+    return next(iter(stacked.values()))["alpha"].shape[0]
+
+
+def stack_fleet_pairs(pair_sets: Sequence[dict]) -> dict:
+    """Stack K per-slider stacked-pairs dicts (driver.build_pairs output,
+    each (n_r, ...)) into one (K, n_max, ...) tree + an `n_pairs` (K,)
+    bound vector. Sliders may have different pair counts: rows past a
+    slider's n_r are edge-padded and NEVER sampled (the per-row randint is
+    bounded by n_pairs[r])."""
+    if not pair_sets:
+        raise ValueError("stack_fleet_pairs needs at least one pair set")
+    keys = set(pair_sets[0])
+    for p in pair_sets[1:]:
+        if set(p) != keys:
+            raise ValueError("fleet pair sets have different keys (XL vs SD mix?)")
+    n = [next(iter(p.values())).shape[0] for p in pair_sets]
+    n_max = max(n)
+
+    def pad(a):
+        a = jnp.asarray(a)
+        if a.shape[0] == n_max:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (n_max - a.shape[0],) + a.shape[1:])]
+        )
+
+    out = {k: jnp.stack([pad(p[k]) for p in pair_sets]) for k in keys}
+    out["n_pairs"] = jnp.asarray(n, jnp.int32)
+    return out
+
+
+def _repeat_rows(tree: dict, reps: int) -> dict:
+    """(K, ...) leaves -> (K*reps, ...) with each row repeated `reps` times
+    consecutively (row layout [s0 x reps, s1 x reps, ...])."""
+    if reps == 1:
+        return tree
+    return jax.tree.map(lambda a: jnp.repeat(a, reps, axis=0), tree)
+
+
+def _tile_tree(tree: dict, reps: int) -> dict:
+    """(R, ...) leaves -> (R*reps, ...) by whole-block tiling (CFG halves)."""
+    if reps == 1:
+        return tree
+    return jax.tree.map(
+        lambda a: jnp.concatenate([a] * reps, axis=0), tree
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fleet step
+# ---------------------------------------------------------------------------
+
+
+def make_fleet_text_step(
+    unet_cfg: unet2d.UNetConfig,
+    schedule: DiffusionSchedule,
+    sampler: Sampler,
+    optimizer: optax.GradientTransformation,
+    *,
+    n_sliders: int,
+    optimizer_name: str = "adamw",
+    max_denoising_steps: int = 50,
+    resolution: int = 512,
+    batch_size: int = 1,
+    denoise_guidance: float = 3.0,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    mesh=None,
+    is_xl: bool = False,
+    donate: bool = True,
+    chunk: int = 1,
+):
+    """Build the jitted fleet step:
+    step(state, unet_params, pairs) -> (new_state, metrics).
+
+    `state.lora` is a `stack_fleet` tree; `pairs` a `stack_fleet_pairs`
+    tree. Metrics come back with a leading (K,) slider axis (loss, t_to,
+    pair, grad_norm). Reference iteration semantics per row follow
+    training/text_slider.py (train_lora.py:155-309); see the module
+    docstring for the exact solo-parity contract."""
+    if sampler.kind in ("ddpm", "euler_a"):
+        raise NotImplementedError(
+            f"fleet training does not support the ancestral '{sampler.kind}' "
+            "sampler (per-call shared noise has no per-row solo stream); "
+            "use ddim or lms"
+        )
+    if optimizer_name.lower().replace("8bit", "").rstrip("_") in (
+        "prodigy", "dadaptadam", "dadaptadamw", "dadaptlion",
+    ):
+        raise NotImplementedError(
+            f"'{optimizer_name}' estimates a global step size over the whole "
+            "tree and would couple fleet rows; use adamw/adam/lion"
+        )
+
+    K, B = n_sliders, batch_size
+    KB = K * B
+    ts1000, scale1000 = train_grid_tables(schedule, sampler.kind)
+    grid_stride = schedule.num_train_timesteps // max_denoising_steps
+    if isinstance(resolution, tuple):
+        height, width = resolution
+    else:
+        height = width = resolution
+    latent_h, latent_w = height // 8, width // 8
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if K % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"fleet size {K} must divide over dp={mesh.shape['dp']}"
+            )
+        row_sharding = NamedSharding(mesh, P("dp"))
+
+    def constrain_rows(x):
+        """Shard the leading (slider-row) axis over dp. Applied to the
+        latents, every fan-out batch AND the per-row adapter leaves: rows
+        never exchange data (per-row weights, per-row loss), so the step
+        runs with ZERO gradient collectives — each chip trains its own
+        K/dp sliders (the scalar loss-sum psum is the only cross-chip
+        traffic). Contrast parallel/mesh.py data parallelism, which
+        all-reduces the full LoRA grad tree every step."""
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(x, row_sharding)
+        return x
+
+    def constrain_tree(tree):
+        if mesh is None:
+            return tree
+        return jax.tree.map(constrain_rows, tree)
+
+    def unet_fn(p, x, t, ehs, added, lora=None):
+        return unet2d.apply(
+            p, unet_cfg, x, t, ehs, added_cond=added, lora=lora, remat=remat
+        )
+
+    def rep(e):
+        """(K, ...) per-slider tensor -> (K*B, ...) per-row tensor."""
+        return jnp.repeat(e, B, axis=0).astype(compute_dtype) if B > 1 else e.astype(compute_dtype)
+
+    def rep_scalar(v):
+        """(K,) per-slider scalar -> (K*B,) per-row scalar (kept f32)."""
+        return jnp.repeat(v, B, axis=0) if B > 1 else v
+
+    def added_from(pair, pooled_key):
+        if not is_xl:
+            return None
+        return {
+            "text_embeds": rep(pair[f"pooled_{pooled_key}"]),
+            "time_ids": rep(pair["time_ids"]),
+        }
+
+    def added_concat(*adds):
+        if adds[0] is None:
+            return None
+        return {k: jnp.concatenate([a[k] for a in adds], axis=0) for k in adds[0]}
+
+    def bcast_rows(v):
+        """(K,) -> (K*B, 1, 1, 1) for latent-shaped broadcasts."""
+        return rep_scalar(v).reshape(KB, 1, 1, 1)
+
+    def freeze_rows(new, old, active):
+        """Per-leaf `where` that freezes inactive slider rows. Leaves are
+        either row-major ((KB, ...) — latents) or history-major
+        ((ORDER, KB, ...) — the LMS derivs carry)."""
+        act = rep_scalar(active)
+
+        def sel(n, o):
+            if n.shape[:1] == (KB,):
+                m = act.reshape((KB,) + (1,) * (n.ndim - 1))
+            else:
+                m = act.reshape((1, KB) + (1,) * (n.ndim - 2))
+            return jnp.where(m, n, o)
+
+        return jax.tree.map(sel, new, old)
+
+    def step_fn(state: SliderTrainState, unet_params: dict, pairs: dict):
+        # ---- per-row RNG: row r == solo run keyed fold_in(fleet_key, r) ----
+        rows = jnp.arange(K)
+        keys = jax.vmap(
+            lambda r: jax.random.fold_in(jax.random.fold_in(state.key, r), state.step)
+        )(rows)
+        ks = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # (K, 5)
+        k_pair, k_t, k_lat, _k_anc, k_crop = (ks[:, j] for j in range(5))
+
+        n_pairs = pairs["n_pairs"]
+        embeds = {k: v for k, v in pairs.items() if k != "n_pairs"}
+        idx = jax.vmap(lambda k, n: jax.random.randint(k, (), 0, n))(k_pair, n_pairs)
+        pair = jax.tree.map(lambda a: a[rows, idx], embeds)  # (K, ...)
+        t_to = jax.vmap(lambda k: jax.random.randint(k, (), 1, max_denoising_steps))(
+            k_t
+        )  # (K,)
+
+        if is_xl and "dynamic_crops" in pair:
+            from sliders_tpu.pipelines.text2image import get_add_time_ids
+
+            dyn_ids = jax.vmap(
+                lambda k: get_add_time_ids(height, width, dynamic_crops=True, key=k)[0]
+            )(k_crop)  # (K, 6)
+            pair = dict(pair)
+            pair["time_ids"] = jnp.where(
+                pair["dynamic_crops"][:, None] > 0,
+                dyn_ids.astype(pair["time_ids"].dtype),
+                pair["time_ids"],
+            )
+
+        latents = jax.vmap(
+            lambda k: jax.random.normal(
+                k, (B, latent_h, latent_w, unet_cfg.in_channels)
+            )
+        )(k_lat).reshape(KB, latent_h, latent_w, unet_cfg.in_channels)
+        latents = (latents * sampler.init_noise_sigma).astype(compute_dtype)
+        latents = constrain_rows(latents)
+
+        lora_rows = constrain_tree(jax.lax.stop_gradient(state.lora))
+        lora_on = SliderLora(
+            weights=_tile_tree(_repeat_rows(lora_rows, B), 2),
+            multiplier=jnp.asarray(1.0),
+        )
+
+        # ---- 2. partial denoise to max_r(t_to_r), per-row freeze mask ----
+        ehs_cfg = jnp.concatenate([rep(pair["unconditional"]), rep(pair["target"])])
+        added_cfg = added_concat(
+            added_from(pair, "unconditional"), added_from(pair, "target")
+        )
+
+        def denoise_body(i, carry):
+            x, s_state = carry
+            x_in = constrain_rows(jnp.concatenate([x, x]))
+            x_in = sampler.scale_model_input(x_in, i).astype(compute_dtype)
+            eps = unet_fn(
+                unet_params, x_in, sampler.timesteps[i], ehs_cfg, added_cfg,
+                lora=lora_on,
+            )
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps_g = eps_u + denoise_guidance * (eps_c - eps_u)
+            x_new, s_new = sampler.step(i, eps_g, x, s_state)
+            active = i < t_to  # (K,) rows still denoising
+            x_new, s_new = freeze_rows(
+                (x_new.astype(compute_dtype), s_new), (x, s_state), active
+            )
+            return (x_new, s_new)
+
+        denoised, _ = jax.lax.fori_loop(
+            0, t_to.max(), denoise_body, (latents, sampler.init_state(latents))
+        )
+        denoised = jax.lax.stop_gradient(denoised)
+
+        # ---- 3. per-row jump onto the 1000-step grid ----
+        t_idx = t_to * grid_stride  # (K,)
+        t_cur = rep_scalar(ts1000[t_idx])  # (KB,)
+        x_scaled = (denoised * bcast_rows(scale1000[t_idx])).astype(compute_dtype)
+
+        # ---- 4. frozen eps: one (3*KB)-row pass, slider OFF ----
+        ehs3 = jnp.concatenate(
+            [rep(pair["positive"]), rep(pair["neutral"]), rep(pair["unconditional"])]
+        )
+        added3 = added_concat(
+            added_from(pair, "positive"),
+            added_from(pair, "neutral"),
+            added_from(pair, "unconditional"),
+        )
+        x3 = constrain_rows(jnp.tile(x_scaled, (3, 1, 1, 1)))
+        t3 = jnp.tile(t_cur, 3)
+        frozen = unet_fn(unet_params, x3, t3, ehs3, added3)
+        eps_pos, eps_neu, eps_unc = jnp.split(
+            jax.lax.stop_gradient(frozen.astype(jnp.float32)), 3, axis=0
+        )
+
+        # ---- 5+6. grad pass: per-row adapters, per-row loss ----
+        g = bcast_rows(pair["guidance_signed"]).astype(jnp.float32)
+        goal = eps_neu + g * (eps_pos - eps_unc)
+        added1 = added_from(pair, "target")
+        ehs1 = rep(pair["target"])
+
+        def loss_fn(fleet_weights):
+            w_rows = _repeat_rows(constrain_tree(fleet_weights), B)
+            eps_t = unet_fn(
+                unet_params, x_scaled, t_cur, ehs1, added1,
+                lora=SliderLora(weights=w_rows, multiplier=jnp.asarray(1.0)),
+            ).astype(jnp.float32)
+            diff = eps_t - goal
+            # per-slider mean over its own (B, h, w, c) elements — each
+            # row's loss/grads match its solo run exactly; the SUM makes
+            # every row's gradient unscaled by K
+            loss_vec = jnp.mean(diff.reshape(K, -1) ** 2, axis=1)
+            return loss_vec.sum(), loss_vec
+
+        (_, loss_vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.lora)
+        grads = constrain_tree(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = constrain_tree(optax.apply_updates(state.lora, updates))
+
+        new_state = state.replace(step=state.step + 1, lora=lora, opt_state=opt_state)
+        per_row_sq = jax.tree.map(
+            lambda a: jnp.sum(jnp.square(a.astype(jnp.float32)).reshape(K, -1), axis=1),
+            grads,
+        )
+        metrics = {
+            "loss": loss_vec,
+            "t_to": t_to,
+            "pair": idx,
+            "grad_norm": jnp.sqrt(sum(jax.tree.leaves(per_row_sq))),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if chunk == 1:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    def multi_fn(state: SliderTrainState, unet_params: dict, pairs: dict):
+        def body(s, _):
+            return step_fn(s, unet_params, pairs)
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+
+def train_fleet(
+    config,
+    prompt_sets: "list[tuple[str, list]]",
+    models,
+    *,
+    mesh=None,
+    resume_from: Optional[str] = None,
+    seed: int = 0,
+    on_step=None,
+) -> "list[dict]":
+    """Train len(prompt_sets) sliders concurrently; returns the solo LoRA
+    trees in input order. `prompt_sets` is [(slider_name, [PromptSettings])].
+
+    Fleet constraints vs the solo driver (training/driver.py): one static
+    resolution/batch bucket across all sliders (rows share the compiled
+    step), no dynamic_resolution, ddim/lms sampler, element-local optimizer.
+    Each slider is saved as `{name}_last.{ext}` plus periodic
+    `{name}_{i}steps.{ext}`, exactly the solo artifact format."""
+    import json
+    import time
+    from pathlib import Path
+
+    import numpy as np
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.driver import (
+        PromptEmbedsCache,
+        _state_bytes,
+        _state_from_bytes,
+        build_pairs,
+    )
+
+    tpu = config.tpu
+    save_dir = Path(config.save.path)
+    ext = ".safetensors" if config.save.format == "safetensors" else ".pt"
+    names = [n for n, _ in prompt_sets]
+    K = len(prompt_sets)
+
+    buckets = {
+        (s.resolution, s.batch_size)
+        for _, settings in prompt_sets
+        for s in settings
+    }
+    if len(buckets) != 1:
+        raise ValueError(
+            f"fleet training needs ONE (resolution, batch) bucket, got {buckets}"
+        )
+    if any(s.dynamic_resolution for _, ss in prompt_sets for s in ss):
+        raise ValueError("fleet training does not support dynamic_resolution")
+    (resolution, batch), = buckets
+
+    cache = PromptEmbedsCache(models)
+    compute_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                     "fp16": jnp.float16, "float16": jnp.float16}.get(
+        config.train.precision, jnp.float32
+    )
+    schedule = make_schedule(
+        prediction_type="v_prediction" if config.pretrained_model.v_pred else "epsilon"
+    )
+    sampler = make_sampler(
+        schedule, config.train.noise_scheduler, config.train.max_denoising_steps
+    )
+
+    # per-slider init keys: slider r trains exactly as a solo run seeded
+    # fold_in(key(seed+1), r) / fold_in(key(seed), r)
+    loras = [
+        lnet.create_slider_network(
+            jax.random.fold_in(jax.random.key(seed + 1), r),
+            models.unet_params,
+            rank=config.network.rank,
+            alpha=config.network.alpha,
+            train_method=config.network.training_method,
+            network_type=config.network.type,
+            dtype=jnp.float32,
+        )
+        for r in range(K)
+    ]
+    fleet_lora = stack_fleet(loras)
+    print(f"fleet: {K} sliders x {len(loras[0])} LoRA modules")
+
+    lr_schedule = opt_factory.make_lr_schedule(
+        config.train.lr_scheduler, config.train.lr, config.train.iterations
+    )
+    optimizer = opt_factory.make_optimizer(
+        config.train.optimizer,
+        lr_schedule,
+        opt_factory.parse_optimizer_args(config.train.optimizer_args),
+        trainable_mask=lnet.trainable_mask(fleet_lora),
+    )
+
+    pairs = stack_fleet_pairs(
+        [build_pairs(settings, cache, models.is_xl) for _, settings in prompt_sets]
+    )
+
+    chunk_cfg = max(1, tpu.steps_per_call)
+    step_fns: dict = {}
+
+    def get_step(chunk):
+        if chunk not in step_fns:
+            step_fns[chunk] = make_fleet_text_step(
+                models.unet_config, schedule, sampler, optimizer,
+                n_sliders=K,
+                optimizer_name=config.train.optimizer,
+                max_denoising_steps=config.train.max_denoising_steps,
+                resolution=resolution,
+                batch_size=batch * max(tpu.per_device_batch, 1),
+                compute_dtype=compute_dtype,
+                remat=tpu.remat,
+                mesh=mesh,
+                is_xl=models.is_xl,
+                donate=tpu.donate,
+                chunk=chunk,
+            )
+        return step_fns[chunk]
+
+    state = SliderTrainState.create(jax.random.key(seed), fleet_lora, optimizer)
+    if resume_from is not None:
+        with open(resume_from, "rb") as f:
+            state = _state_from_bytes(state, f.read())
+        print(f"fleet resumed from {resume_from} at step {int(state.step)}")
+
+    save_dir.mkdir(parents=True, exist_ok=True)
+    with open(save_dir / f"{config.save.name}_fleet_metadata.json", "w") as f:
+        json.dump(
+            {
+                "sliders": names,
+                "prompts": {
+                    n: [p.model_dump() for p in ss] for n, ss in prompt_sets
+                },
+                "config": json.loads(config.model_dump_json()),
+            },
+            f,
+            indent=2,
+        )
+
+    def save_all(suffix: str):
+        for name, solo in zip(names, unstack_fleet(jax.device_get(state.lora))):
+            lora_io.save_slider(
+                str(save_dir / f"{name}{suffix}{ext}"),
+                solo,
+                dtype=lora_io.numpy_precision(config.save.precision),
+            )
+
+    t_last = time.perf_counter()
+    i = int(state.step)
+    while i < config.train.iterations:
+        n = min(chunk_cfg, config.train.iterations - i)
+        for period in (config.save.per_steps, tpu.state_checkpoint_every):
+            if period and period > 0:
+                boundary = max(((i + period - 1) // period) * period, period)
+                n = min(n, boundary - i + 1)
+        state, metrics = get_step(n)(state, models.unet_params, pairs)
+        per_step = (
+            [jax.tree.map(lambda a, j=j: a[j], metrics) for j in range(n)]
+            if n > 1
+            else [metrics]
+        )
+        for j, m in enumerate(per_step):
+            sj = i + j
+            loss = np.asarray(m["loss"])
+            if tpu.nan_check and not np.all(np.isfinite(loss)):
+                raise FloatingPointError(f"non-finite fleet loss at step {sj}: {loss}")
+            if sj % config.logging.log_every == 0 or sj == config.train.iterations - 1:
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                mean_loss = float(loss.mean())
+                print(
+                    f"fleet step {sj}: mean loss*1k={mean_loss * 1000:.4f} "
+                    f"({K} sliders, {dt:.2f}s since last log)"
+                )
+            if on_step is not None:
+                on_step(sj, state, m)
+            if (
+                sj % config.save.per_steps == 0
+                and sj != 0
+                and sj != config.train.iterations - 1
+            ):
+                print("Saving...")
+                save_all(f"_{sj}steps")
+            if (
+                tpu.state_checkpoint_every
+                and sj % tpu.state_checkpoint_every == 0
+                and sj != 0
+            ):
+                with open(save_dir / f"{config.save.name}_fleet_trainstate.msgpack", "wb") as f:
+                    f.write(_state_bytes(state))
+        i += n
+
+    print("Saving...")
+    save_all("_last")
+    print("Done.")
+    return unstack_fleet(jax.device_get(state.lora))
