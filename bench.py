@@ -204,6 +204,10 @@ def main_fleet(n_sliders: int = None):
     }
     pairs_solo = stack_prompt_pairs([pair])
 
+    # stack BEFORE the solo phase: the solo step donates its state, which
+    # deletes loras[0]'s buffers once the first call runs
+    fleet_tree = stack_fleet(loras)
+
     # ---- solo reference rate (same program as the sd15 mode) ----
     solo_opt = opt_factory.make_optimizer(
         "adamw", lr, trainable_mask=lnet.trainable_mask(loras[0])
@@ -225,7 +229,6 @@ def main_fleet(n_sliders: int = None):
     solo_rate = chunk / best_sample(solo_once, samples=5)
 
     # ---- fleet rate ----
-    fleet_tree = stack_fleet(loras)
     fleet_opt = opt_factory.make_optimizer(
         "adamw", lr, trainable_mask=lnet.trainable_mask(fleet_tree)
     )

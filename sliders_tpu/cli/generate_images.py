@@ -106,6 +106,23 @@ def infer_params_from_name(model_path: str) -> dict:
     return out
 
 
+def _infer_scales(model_path: str) -> list:
+    """Scale sweep from the metadata sidecar when present, else from the
+    checkpoint path (the reference filename convention)."""
+    meta_path = model_path.rsplit("_", 1)[0] + "_metadata.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        method = meta.get("config", {}).get("network", {}).get("training_method", "")
+        print(f"slider hyperparams from {meta_path}")
+        if "hspace" in method or "last" in method:
+            return list(HSPACE_SCALES)
+        return list(DEFAULT_SCALES)
+    inferred = infer_params_from_name(model_path)
+    print(f"slider hyperparams from checkpoint path: {inferred}")
+    return inferred["scales"]
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -128,6 +145,7 @@ def main(args):
         )
 
     weights = None
+    fleet_adapters = None
     inferred_scales = list(DEFAULT_SCALES)
     if getattr(args, "compose", None):
         # multi-slider composition (lora/compose.py): each entry is
@@ -135,10 +153,11 @@ def main(args):
         # intensity multiplier on the whole composition (1 = nominal).
         from sliders_tpu.lora.compose import compose_sliders
 
-        if args.model_name:
+        if args.model_name or getattr(args, "fleet", None):
             raise SystemExit(
-                "--compose and --model_name conflict; fold the named slider "
-                "into the composition as another --compose CKPT:SCALE entry"
+                "--compose conflicts with --model_name/--fleet; fold the "
+                "named slider into the composition as another --compose "
+                "CKPT:SCALE entry"
             )
         adapters = []
         for entry in args.compose:
@@ -152,20 +171,25 @@ def main(args):
             adapters.append((lora_io.load_slider(path, models.unet_params), s))
         weights = compose_sliders(adapters)
         inferred_scales = [0.0, 1.0]  # base vs composed, unless --scales
+    elif getattr(args, "fleet", None):
+        # multi-slider fleet sweep: every checkpoint's whole (samples x
+        # scales) sweep rides ONE batched denoise via per-row stacked
+        # adapters (lora/batch.py — the same machinery the serving engine
+        # uses for multi-tenant batching). Sliders share the per-sample
+        # initial noise, so rows are directly comparable across sliders.
+        if args.model_name:
+            raise SystemExit("--fleet and --model_name conflict")
+        fleet_adapters = [
+            (
+                os.path.basename(p).replace(".pt", "").replace(".safetensors", ""),
+                lora_io.load_slider(p, models.unet_params),
+            )
+            for p in args.fleet
+        ]
+        inferred_scales = _infer_scales(args.fleet[0])
     elif args.model_name:
         weights = lora_io.load_slider(args.model_name, models.unet_params)
-        meta_path = args.model_name.rsplit("_", 1)[0] + "_metadata.json"
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            method = meta.get("config", {}).get("network", {}).get("training_method", "")
-            if "hspace" in method or "last" in method:
-                inferred_scales = list(HSPACE_SCALES)
-            print(f"slider hyperparams from {meta_path}")
-        else:
-            inferred = infer_params_from_name(args.model_name)
-            inferred_scales = inferred["scales"]
-            print(f"slider hyperparams from checkpoint path: {inferred}")
+        inferred_scales = _infer_scales(args.model_name)
 
     # reference behavior: hspace/last sliders auto-widen the sweep to +-5
     # (generate_images_sd1.py:84-89) unless the user passed --scales
@@ -209,16 +233,34 @@ def main(args):
         name = (
             os.path.basename(args.model_name or "base").replace(".pt", "").replace(".safetensors", "")
         )
-    folder_path = os.path.join(args.save_path, name)
-    os.makedirs(os.path.join(folder_path, "all"), exist_ok=True)
+    if fleet_adapters is not None:
+        folder_paths = [os.path.join(args.save_path, n) for n, _ in fleet_adapters]
+    else:
+        folder_paths = [os.path.join(args.save_path, name)]
     scale_strs = [str(s).replace("0.5", "half").rstrip("0").rstrip(".") if "." in str(s) else str(s) for s in scales]
     scale_strs = [s if s else "0" for s in scale_strs]
-    for s in scale_strs:
-        os.makedirs(os.path.join(folder_path, s), exist_ok=True)
+    for folder_path in folder_paths:
+        os.makedirs(os.path.join(folder_path, "all"), exist_ok=True)
+        for s in scale_strs:
+            os.makedirs(os.path.join(folder_path, s), exist_ok=True)
 
     df = pd.read_csv(args.prompts_path)
     n_scales = len(scales)
     scale_vec = jnp.asarray(scales, jnp.float32)
+
+    n_fleet = len(fleet_adapters) if fleet_adapters is not None else 1
+    if fleet_adapters is not None:
+        # per-row stacked tree, built once (row counts are constant across
+        # prompts): slider-major layout [s0 x n_solo, s1 x n_solo, ...];
+        # dp-pad rows reuse slider 0 at scale 0 (exact no-op rows)
+        from sliders_tpu.lora.batch import stack_sliders
+
+        n_solo = args.num_samples * n_scales
+        pad_rows = (-(n_solo * n_fleet)) % n_dp
+        weights = stack_sliders(
+            [w for _, w in fleet_adapters for _ in range(n_solo)]
+            + [fleet_adapters[0][1]] * pad_rows
+        )
 
     for _, row in df.iterrows():
         case = int(row.case_number)
@@ -232,9 +274,11 @@ def main(args):
             models, prompt, args.negative_prompt or "", args.image_size
         )
 
-        # ALL samples x ALL scales in ONE batched denoise: batch layout is
-        # sample-major [(s0,scale0), (s0,scale1), ..., (s1,scale0), ...]
-        n_total = args.num_samples * n_scales
+        # ALL sliders x ALL samples x ALL scales in ONE batched denoise:
+        # layout is slider-major then sample-major
+        # [(k0,s0,scale0), (k0,s0,scale1), ..., (k1,s0,scale0), ...];
+        # every slider sees the same per-sample initial noise
+        n_total = n_fleet * args.num_samples * n_scales
         pad = (-n_total) % n_dp  # dp wants equal rows per device
         lats = jnp.concatenate(
             [
@@ -248,7 +292,9 @@ def main(args):
                 for i in range(args.num_samples)
             ]
         )
-        scale_all = jnp.tile(scale_vec, (args.num_samples,))
+        if n_fleet > 1:
+            lats = jnp.tile(lats, (n_fleet, 1, 1, 1))
+        scale_all = jnp.tile(scale_vec, (n_fleet * args.num_samples,))
         if pad:
             # wrap-index: pad may exceed n_total (e.g. 3 rows on 8 devices)
             lats = jnp.concatenate([lats, lats[jnp.arange(pad) % n_total]])
@@ -263,14 +309,19 @@ def main(args):
             added_b,
         )[:n_total]
         imgs = np.asarray(t2i.decode_images(models.vae_params, models.vae_config, x))
-        for i in range(args.num_samples):
-            pil = [Image.fromarray(imgs[i * n_scales + j]) for j in range(n_scales)]
-            for s_str, im in zip(scale_strs, pil):
-                im.save(os.path.join(folder_path, s_str, f"{case}_{i}.png"))
-            grid = Image.new("RGB", (imgs.shape[2] * n_scales, imgs.shape[1]))
-            for j, im in enumerate(pil):
-                grid.paste(im, (j * imgs.shape[2], 0))
-            grid.save(os.path.join(folder_path, "all", f"{case}_{i}.png"))
+        for k, folder_path in enumerate(folder_paths):
+            base_row = k * args.num_samples * n_scales
+            for i in range(args.num_samples):
+                pil = [
+                    Image.fromarray(imgs[base_row + i * n_scales + j])
+                    for j in range(n_scales)
+                ]
+                for s_str, im in zip(scale_strs, pil):
+                    im.save(os.path.join(folder_path, s_str, f"{case}_{i}.png"))
+                grid = Image.new("RGB", (imgs.shape[2] * n_scales, imgs.shape[1]))
+                for j, im in enumerate(pil):
+                    grid.paste(im, (j * imgs.shape[2], 0))
+                grid.save(os.path.join(folder_path, "all", f"{case}_{i}.png"))
 
 
 def build_parser():
@@ -281,6 +332,13 @@ def build_parser():
         help="compose multiple sliders (repeatable): each checkpoint at its "
         "own signed scale, swept scales multiply the whole composition "
         "(default sweep 0,1 = base vs composed)",
+    )
+    p.add_argument(
+        "--fleet", action="append", default=None, metavar="CKPT",
+        help="evaluate multiple sliders in one run (repeatable): every "
+        "checkpoint's (samples x scales) sweep rides one batched denoise "
+        "via per-row stacked adapters; outputs land in one folder per "
+        "slider. Sliders share per-sample noise, so rows are comparable.",
     )
     p.add_argument(
         "--dp", type=int, default=1,

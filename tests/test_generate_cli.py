@@ -137,3 +137,69 @@ def test_generate_images_cli_compose(snapshot, tmp_path):
     base_img = np.asarray(Image.open(run_dir / "0" / "0_0.png"))
     comp_img = np.asarray(Image.open(run_dir / "1" / "0_0.png"))
     assert (base_img != comp_img).any()
+
+
+def test_generate_images_cli_fleet(snapshot, tmp_path):
+    """--fleet CKPT (repeatable): K sliders' sweeps in one batched denoise
+    via per-row stacked adapters (mixed ranks allowed). Per-slider outputs
+    must match each slider's SOLO run with the same seeds to decode
+    precision (stacked einsum/grouped-conv vs solo matmul/conv differ by a
+    few ULP before uint8 quantization)."""
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from sliders_tpu.cli.generate_images import build_parser, main
+    from sliders_tpu.lora import io as lora_io
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import loader
+
+    models = loader.load_sd(snapshot, dtype=jnp.float32)
+    paths = []
+    for i, rank in enumerate([4, 2]):  # mixed ranks: the stacker rank-pads
+        w = lnet.create_slider_network(
+            jax.random.key(30 + i), models.unet_params, rank=rank,
+            train_method="noxattn",
+        )
+        w = {m: {**e, "up": e["up"] + (0.25 if i == 0 else -0.4)} for m, e in w.items()}
+        p = str(tmp_path / f"fslider{i}.safetensors")
+        lora_io.save_slider(p, w)
+        paths.append(p)
+
+    csv = tmp_path / "prompts.csv"
+    pd.DataFrame(
+        {"case_number": [0], "prompt": ["photo"], "evaluation_seed": [7]}
+    ).to_csv(csv, index=False)
+
+    common = [
+        "--base", snapshot,
+        "--prompts_path", str(csv),
+        "--scales=-1,0,1",
+        "--ddim_steps", "3",
+        "--image_size", "64",
+        "--precision", "float32",
+        "--start_noise", "1000",
+    ]
+    for k, p in enumerate(paths):
+        main(build_parser().parse_args(
+            common + ["--save_path", str(tmp_path / "solo"), "--model_name", p]
+        ))
+    main(build_parser().parse_args(
+        common + ["--save_path", str(tmp_path / "fleet"),
+                  "--fleet", paths[0], "--fleet", paths[1]]
+    ))
+
+    for k in range(2):
+        for scale in ("-1", "0", "1"):
+            solo = np.asarray(
+                Image.open(tmp_path / "solo" / f"fslider{k}" / scale / "0_0.png")
+            ).astype(np.int16)
+            fleet = np.asarray(
+                Image.open(tmp_path / "fleet" / f"fslider{k}" / scale / "0_0.png")
+            ).astype(np.int16)
+            assert np.abs(solo - fleet).max() <= 1, (k, scale)
+    # the two sliders actually produce different images at scale 1
+    a = np.asarray(Image.open(tmp_path / "fleet" / "fslider0" / "1" / "0_0.png"))
+    b = np.asarray(Image.open(tmp_path / "fleet" / "fslider1" / "1" / "0_0.png"))
+    assert (a != b).any()
