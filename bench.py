@@ -205,8 +205,10 @@ def main_fleet(n_sliders: int = None):
     pairs_solo = stack_prompt_pairs([pair])
 
     # stack BEFORE the solo phase: the solo step donates its state, which
-    # deletes loras[0]'s buffers once the first call runs
+    # deletes loras[0]'s buffers once the first call runs (two independent
+    # stacks: each mode's donated state consumes one)
     fleet_tree = stack_fleet(loras)
+    fleet_tree_shared = stack_fleet(loras)
 
     # ---- solo reference rate (same program as the sd15 mode) ----
     solo_opt = opt_factory.make_optimizer(
@@ -249,20 +251,43 @@ def main_fleet(n_sliders: int = None):
         _ = np.asarray(fmetrics["loss"])
 
     fleet_iter_rate = chunk / best_sample(fleet_once, samples=5)
-    aggregate = fleet_iter_rate * n_sliders
-    speedup = aggregate / (solo_rate * 1.0)  # vs training the N sequentially
-    projected = 1000.0 / fleet_iter_rate / 60.0  # minutes for N sliders x 1000
-    print(json.dumps({
-        "metric": f"sd15_fleet{n_sliders}_train_slider_steps_per_sec_chip",
-        "value": round(aggregate, 4),
-        "unit": "slider-steps/sec",
-        "vs_baseline": round(speedup, 4),
-        "n_sliders": n_sliders,
-        "solo_steps_per_sec": round(solo_rate, 4),
-        "fleet_iterations_per_sec": round(fleet_iter_rate, 4),
-        "projected_minutes_for_n_sliders_1000_iters": round(projected, 2),
-        "note": "vs_baseline = aggregate speedup vs sequential solo runs",
-    }))
+
+    def emit(mode, iter_rate):
+        aggregate = iter_rate * n_sliders
+        projected = 1000.0 / iter_rate / 60.0  # minutes for N sliders x 1000
+        print(json.dumps({
+            "metric": f"sd15_fleet{n_sliders}_{mode}_train_slider_steps_per_sec_chip",
+            "value": round(aggregate, 4),
+            "unit": "slider-steps/sec",
+            "vs_baseline": round(aggregate / solo_rate, 4),
+            "n_sliders": n_sliders,
+            "solo_steps_per_sec": round(solo_rate, 4),
+            "fleet_iterations_per_sec": round(iter_rate, 4),
+            "projected_minutes_for_n_sliders_1000_iters": round(projected, 2),
+            "note": "vs_baseline = aggregate speedup vs sequential solo runs",
+        }), flush=True)
+
+    emit("perrow", fleet_iter_rate)
+
+    # ---- shared-t_to mode: row 0's t_to for every row (training/fleet.py)
+    # removes the E[max_K t_to] ~ 50*K/(K+1) loop inflation of the
+    # parity-exact per-row mode ----
+    shared_step = make_fleet_text_step(
+        cfg, schedule, sampler, fleet_opt,
+        n_sliders=n_sliders, max_denoising_steps=50, resolution=512,
+        batch_size=1, compute_dtype=jnp.bfloat16, remat=False, donate=True,
+        chunk=chunk, shared_t_to=True,
+    )
+    sstate = SliderTrainState.create(jax.random.key(2), fleet_tree_shared, fleet_opt)
+    sstate, smetrics = shared_step(sstate, unet_params, fpairs)
+    _ = np.asarray(smetrics["loss"])
+
+    def shared_once():
+        nonlocal sstate, smetrics
+        sstate, smetrics = shared_step(sstate, unet_params, fpairs)
+        _ = np.asarray(smetrics["loss"])
+
+    emit("sharedt", chunk / best_sample(shared_once, samples=5))
 
 
 def main_flux():

@@ -3,9 +3,12 @@
 Where the reference trains one slider per process (trainscripts/
 textsliders/train_lora.py, one run per prompts YAML), this trains one
 slider per --prompts_file concurrently: K adapters ride the same UNet
-calls as per-row stacked LoRA (training/fleet.py), so producing a catalog
-of sliders costs far less than K sequential runs — and on a dp mesh each
-chip trains its own sliders with zero gradient collectives.
+calls as per-row stacked LoRA (training/fleet.py). One process, one
+compiled program, K artifacts; on a dp mesh each chip trains its own
+sliders with ZERO gradient collectives. Honest one-chip economics
+(BASELINE.md round-4 fleet table): SD1.5 512px is MXU-bound at the solo
+batch already, so fleet-4 is 0.66x sequential in the exact-parity per-row
+mode and 1.04x with --shared_t_to — the throughput win is multi-chip.
 
 Usage:
   python -m sliders_tpu.cli.train_fleet --config_file data/config.yaml \
@@ -98,7 +101,10 @@ def main(args):
                 mesh, models.unet_params, tp_enabled=config.tpu.tp > 1
             )
 
-    train_fleet(config, prompt_sets, models, mesh=mesh, resume_from=args.resume)
+    train_fleet(
+        config, prompt_sets, models, mesh=mesh, resume_from=args.resume,
+        shared_t_to=args.shared_t_to,
+    )
 
 
 def build_parser():
@@ -121,6 +127,13 @@ def build_parser():
     )
     parser.add_argument("--xl", action="store_true", help="Train SDXL sliders.")
     parser.add_argument("--resume", default=None, help="Fleet trainstate msgpack.")
+    parser.add_argument(
+        "--shared_t_to", action="store_true",
+        help="share row 0's per-iteration t_to draw across the fleet: "
+        "removes the E[max_K t_to] denoise-loop inflation (~1.6x for K=4) "
+        "at the cost of correlated (not per-slider-stream) t_to draws; "
+        "per-slider marginals are unchanged.",
+    )
     return parser
 
 

@@ -5,13 +5,19 @@ train_lora.py:32-340 — one LoRANetwork monkey-patched into one pipeline), so
 producing the repo's dozens of example sliders (data/prompts-*.yaml) means
 dozens of sequential runs. On TPU the economics invert twice over:
 
-  - batch rows are nearly free MXU work at the reference's batch_size=1
-    (batch-4 costs ~3.65x batch-1, BASELINE.md), so K sliders' iterations
-    can ride ONE UNet call per phase instead of K;
+  - K sliders' iterations ride ONE UNet call per phase instead of K —
+    one process, one compiled program, K artifacts;
   - fleet rows are *embarrassingly parallel*: unlike data parallelism
     (which all-reduces gradients every step), each row's loss/grads/update
     touch only that row's adapter — sharding the row axis over the mesh
     `dp` axis trains K sliders with ZERO gradient collectives.
+
+Measured one-chip economics (BASELINE.md round-4 fleet table): the SD1.5
+512px UNet is MXU-bound at the solo CFG batch already, so batching K=4
+sliders costs ~3.9x a solo iteration — per-row-t_to fleet-4 is 0.656x
+FOUR sequential runs (E[max_K t_to] adds another 1.6x loop inflation) and
+shared_t_to fleet-4 is 1.036x. On one chip fleet is an OPERATIONAL
+feature; the throughput story is the zero-collective dp sharding.
 
 Mechanics: the per-row stacked-LoRA machinery built for multi-tenant
 serving (lora/batch.py + ops/basic.py batched einsum / grouped conv) is
@@ -174,6 +180,7 @@ def make_fleet_text_step(
     is_xl: bool = False,
     donate: bool = True,
     chunk: int = 1,
+    shared_t_to: bool = False,
 ):
     """Build the jitted fleet step:
     step(state, unet_params, pairs) -> (new_state, metrics).
@@ -182,7 +189,14 @@ def make_fleet_text_step(
     tree. Metrics come back with a leading (K,) slider axis (loss, t_to,
     pair, grad_norm). Reference iteration semantics per row follow
     training/text_slider.py (train_lora.py:155-309); see the module
-    docstring for the exact solo-parity contract."""
+    docstring for the exact solo-parity contract.
+
+    ``shared_t_to=True`` gives every row ROW 0's t_to draw: per-slider
+    marginals are unchanged (t_to is an exogenous uniform draw and sliders
+    never interact) but draws correlate across the fleet, killing the
+    E[max_K t_to] ~ 50*K/(K+1) denoise-loop inflation of the per-row mode
+    (measured on TPU, BASELINE.md round-4 fleet table). Row 0 keeps exact
+    solo parity; rows >0 trade their t_to stream for throughput."""
     if sampler.kind in ("ddpm", "euler_a"):
         raise NotImplementedError(
             f"fleet training does not support the ancestral '{sampler.kind}' "
@@ -294,6 +308,8 @@ def make_fleet_text_step(
         t_to = jax.vmap(lambda k: jax.random.randint(k, (), 1, max_denoising_steps))(
             k_t
         )  # (K,)
+        if shared_t_to:
+            t_to = jnp.broadcast_to(t_to[0], (K,))
 
         if is_xl and "dynamic_crops" in pair:
             from sliders_tpu.pipelines.text2image import get_add_time_ids
@@ -422,6 +438,193 @@ def make_fleet_text_step(
 
 
 # ---------------------------------------------------------------------------
+# image-slider fleet step
+# ---------------------------------------------------------------------------
+
+
+def make_fleet_image_step(
+    unet_cfg: unet2d.UNetConfig,
+    vae_cfg,
+    schedule: DiffusionSchedule,
+    sampler: Sampler,
+    optimizer: optax.GradientTransformation,
+    *,
+    n_sliders: int,
+    optimizer_name: str = "adamw",
+    max_denoising_steps: int = 50,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+    is_xl: bool = False,
+    mesh=None,
+    donate: bool = True,
+    chunk: int = 1,
+):
+    """K image sliders (training/image_slider.py semantics, one fused ±s
+    batch each) in one jitted step — the concurrent path for e.g. the
+    reference's --stylecheck loop (imagesliders/train_lora-scale.py), which
+    trains one slider per style folder SEQUENTIALLY.
+
+    batch leaves carry a leading (K,) slider axis:
+      images_high/low (K, B, H, W, 3) float [-1,1] or uint8, scale (K,),
+      positive/neutral (K, L, D) [+ pooled_* (K, Dp) / time_ids (K, 6)].
+
+    Unlike the text fleet there is NO shared loop: every per-slider draw
+    (t_to, posterior noise, injected noise) vectorizes freely, so row r is
+    solo-equivalent with no masking caveat. Same RNG contract as
+    make_fleet_text_step (row r == solo run keyed fold_in(fleet_key, r));
+    any sampler kind works (the image step never calls sampler.step)."""
+    from sliders_tpu.models import vae as vae_mod
+
+    if optimizer_name.lower().replace("8bit", "").rstrip("_") in (
+        "prodigy", "dadaptadam", "dadaptadamw", "dadaptlion",
+    ):
+        raise NotImplementedError(
+            f"'{optimizer_name}' estimates a global step size over the whole "
+            "tree and would couple fleet rows; use adamw/adam/lion"
+        )
+    K = n_sliders
+    ts1000, scale1000 = train_grid_tables(schedule, sampler.kind)
+    grid_stride = schedule.num_train_timesteps // max_denoising_steps
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if K % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"fleet size {K} must divide over dp={mesh.shape['dp']}"
+            )
+        row_sharding = NamedSharding(mesh, P("dp"))
+
+    def constrain_rows(x):
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(x, row_sharding)
+        return x
+
+    def constrain_tree(tree):
+        if mesh is None:
+            return tree
+        return jax.tree.map(constrain_rows, tree)
+
+    def step_fn(state: SliderTrainState, unet_params, vae_params, batch):
+        B = batch["images_high"].shape[1]
+        KB = K * B
+
+        def to_slider_blocks(a):
+            """(2KB, ...) side-major rows -> (K, 2B, ...) per-slider blocks
+            laid out [high x B, low x B] exactly like the solo step's
+            concat — so one vmapped key draw per slider reproduces the
+            solo bits."""
+            a = a.reshape((2, K, B) + a.shape[1:])
+            a = jnp.swapaxes(a, 0, 1)
+            return a.reshape((K, 2 * B) + a.shape[3:])
+
+        def from_slider_blocks(a):
+            a = a.reshape((K, 2, B) + a.shape[2:])
+            a = jnp.swapaxes(a, 0, 1)
+            return a.reshape((2 * K * B,) + a.shape[3:])
+
+        rows = jnp.arange(K)
+        keys = jax.vmap(
+            lambda r: jax.random.fold_in(jax.random.fold_in(state.key, r), state.step)
+        )(rows)
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+        k_t, k_post, k_noise = (ks[:, j] for j in range(3))
+
+        t_to = jax.vmap(
+            lambda k: jax.random.randint(k, (), 1, max_denoising_steps - 1)
+        )(k_t)  # (K,)
+
+        imgs = jnp.concatenate(
+            [
+                batch["images_high"].reshape((KB,) + batch["images_high"].shape[2:]),
+                batch["images_low"].reshape((KB,) + batch["images_low"].shape[2:]),
+            ]
+        )
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 127.5 - 1.0
+        imgs = constrain_rows(imgs.astype(jnp.float32))
+        mean, logvar = vae_mod.encode(vae_params, vae_cfg, imgs)
+        lat = jax.vmap(vae_mod.sample_latents)(
+            to_slider_blocks(mean), to_slider_blocks(logvar), k_post
+        )
+        lat = constrain_rows(vae_mod.normalize_latents(vae_cfg, from_slider_blocks(lat)))
+
+        noise1 = jax.vmap(
+            lambda k: jax.random.normal(k, (B,) + lat.shape[1:], lat.dtype)
+        )(k_noise).reshape((KB,) + lat.shape[1:])
+        noise = jnp.concatenate([noise1, noise1])  # same noise for ±s
+
+        def per_row(v):
+            """(K,) per-slider scalar -> (2KB,) per-row."""
+            return jnp.tile(jnp.repeat(v, B, axis=0), 2)
+
+        t_add = sampler.timesteps[t_to].astype(jnp.int32)  # 50-grid (quirk)
+        noisy = schedule.add_noise(lat, noise, per_row(t_add))
+        t_idx = t_to * grid_stride
+        t_rows = per_row(ts1000[t_idx])
+        x_in = constrain_rows(
+            (noisy * per_row(scale1000[t_idx]).reshape(-1, 1, 1, 1)).astype(compute_dtype)
+        )
+
+        def rep(e):
+            return jnp.repeat(e, B, axis=0).astype(compute_dtype) if B > 1 else e.astype(compute_dtype)
+
+        ehs = jnp.concatenate([rep(batch["positive"]), rep(batch["neutral"])])
+        added = None
+        if is_xl:
+            added = {
+                "text_embeds": jnp.concatenate(
+                    [rep(batch["pooled_positive"]), rep(batch["pooled_neutral"])]
+                ),
+                "time_ids": jnp.concatenate(
+                    [rep(batch["time_ids"]), rep(batch["time_ids"])]
+                ),
+            }
+        sign = jnp.concatenate([jnp.ones(KB), -jnp.ones(KB)])
+        mult = sign * per_row(batch["scale"])
+        noise_f32 = jax.lax.stop_gradient(noise.astype(jnp.float32))
+
+        def loss_fn(fleet_weights):
+            w_rows = _tile_tree(
+                _repeat_rows(constrain_tree(fleet_weights), B), 2
+            )
+            eps = unet2d.apply(
+                unet_params, unet_cfg, x_in, t_rows, ehs, added_cond=added,
+                lora=SliderLora(weights=w_rows, multiplier=mult), remat=remat,
+            )
+            diff = eps.astype(jnp.float32) - noise_f32
+            # per-slider 2*mean over its own (2B, h, w, c) rows — the solo
+            # step's accumulated-±s loss, slider by slider
+            d2 = (diff * diff).reshape(2, K, -1)
+            loss_vec = 2.0 * jnp.mean(d2, axis=(0, 2))
+            return loss_vec.sum(), loss_vec
+
+        (_, loss_vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.lora)
+        grads = constrain_tree(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = constrain_tree(optax.apply_updates(state.lora, updates))
+        new_state = state.replace(step=state.step + 1, lora=lora, opt_state=opt_state)
+        return new_state, {"loss": loss_vec, "t_to": t_to, "scale": batch["scale"]}
+
+    donate_argnums = (0,) if donate else ()
+    if chunk == 1:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+    SCANNED = ("images_high", "images_low", "scale")
+
+    def multi_fn(state, unet_params, vae_params, batch):
+        xs = {k: batch[k] for k in SCANNED}
+        static = {k: v for k, v in batch.items() if k not in SCANNED}
+
+        def body(s, x):
+            return step_fn(s, unet_params, vae_params, {**static, **x})
+
+        return jax.lax.scan(body, state, xs, length=chunk)
+
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)
+
+
+# ---------------------------------------------------------------------------
 # host driver
 # ---------------------------------------------------------------------------
 
@@ -435,6 +638,7 @@ def train_fleet(
     resume_from: Optional[str] = None,
     seed: int = 0,
     on_step=None,
+    shared_t_to: bool = False,
 ) -> "list[dict]":
     """Train len(prompt_sets) sliders concurrently; returns the solo LoRA
     trees in input order. `prompt_sets` is [(slider_name, [PromptSettings])].
@@ -541,6 +745,7 @@ def train_fleet(
                 is_xl=models.is_xl,
                 donate=tpu.donate,
                 chunk=chunk,
+                shared_t_to=shared_t_to,
             )
         return step_fns[chunk]
 

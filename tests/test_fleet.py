@@ -384,3 +384,129 @@ tpu:
         if np.abs(w_age[name]["down"] - w_smile[name]["down"]).max() > 0:
             moved += 1
     assert moved > 0
+
+
+# ---------------------------------------------------------------------------
+# image-slider fleet (slow tier)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_fleet_image_rows_match_solo_runs():
+    """Image fleet row r == solo make_image_slider_step run keyed
+    fold_in(fleet_key, r): identical t_to draws, losses, and weights to
+    the same tolerance as the text fleet (no loop masking here — the image
+    step has no denoise loop, so rows vectorize exactly)."""
+    from sliders_tpu.models import vae
+    from sliders_tpu.training.fleet import make_fleet_image_step
+    from sliders_tpu.training.image_slider import make_image_slider_step
+
+    ucfg = unet2d.TINY
+    vcfg = vae.TINY
+    unet_params = unet2d.init_params(jax.random.key(0), ucfg)
+    vae_params = vae.init_params(jax.random.key(1), vcfg)
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", 10)
+    fleet_key = jax.random.key(3)
+    loras = _make_loras(unet_params, 2, jax.random.key(2))
+    D = ucfg.cross_attention_dim
+
+    def solo_batch(r):
+        k = jax.random.fold_in(jax.random.key(40), r)
+        ks = jax.random.split(k, 5)
+        return {
+            "images_low": jnp.clip(jax.random.normal(ks[0], (1, 32, 32, 3)) * 0.3, -1, 1),
+            "images_high": jnp.clip(jax.random.normal(ks[1], (1, 32, 32, 3)) * 0.3 + 0.2, -1, 1),
+            "scale": jnp.asarray(1.0 + r, jnp.float32),
+            "positive": jax.random.normal(ks[2], (7, D)),
+            "neutral": jax.random.normal(ks[3], (7, D)),
+        }
+
+    solo_batches = [solo_batch(0), solo_batch(1)]
+    fleet_batch = {
+        k: jnp.stack([b[k] for b in solo_batches]) for k in solo_batches[0]
+    }
+
+    def mk_opt(tree):
+        # lr 1e-4: adam normalizes near-zero grads to +-lr, so ULP grad
+        # noise produces weight drift PROPORTIONAL to lr (measured 0.6% of
+        # lr on one zero-init up element at lr 1e-2); a small lr keeps the
+        # 1e-5 gate meaningful while O(lr) row-mixing bugs still trip it
+        return opt_factory.make_optimizer(
+            "adamw", opt_factory.make_lr_schedule("constant", 1e-4, 50),
+            trainable_mask=lnet.trainable_mask(tree),
+        )
+
+    fleet_tree = stack_fleet(loras)
+    fleet_opt = mk_opt(fleet_tree)
+    fstep = make_fleet_image_step(
+        ucfg, vcfg, schedule, sampler, fleet_opt, n_sliders=2,
+        max_denoising_steps=10, compute_dtype=jnp.float32, remat=False,
+        donate=False,
+    )
+    fstate = SliderTrainState.create(fleet_key, fleet_tree, fleet_opt)
+    fms = []
+    for _ in range(2):
+        fstate, fm = fstep(fstate, unet_params, vae_params, fleet_batch)
+        fms.append(fm)
+    finals = unstack_fleet(jax.device_get(fstate.lora))
+
+    for r in range(2):
+        opt = mk_opt(loras[r])
+        sstep = make_image_slider_step(
+            ucfg, vcfg, schedule, sampler, opt, max_denoising_steps=10,
+            compute_dtype=jnp.float32, remat=False, donate=False,
+        )
+        st = SliderTrainState.create(jax.random.fold_in(fleet_key, r), loras[r], opt)
+        for i in range(2):
+            st, m = sstep(st, unet_params, vae_params, solo_batches[r])
+            assert int(m["t_to"]) == int(fms[i]["t_to"][r])
+            np.testing.assert_allclose(
+                float(m["loss"]), float(fms[i]["loss"][r]), rtol=1e-5
+            )
+            assert float(fms[i]["scale"][r]) == 1.0 + r
+        for name, w in jax.device_get(st.lora).items():
+            for leaf in ("down", "up", "alpha"):
+                np.testing.assert_allclose(
+                    finals[r][name][leaf], w[leaf], rtol=0, atol=1e-5,
+                    err_msg=f"image fleet row {r} {name}.{leaf} diverged",
+                )
+
+
+@pytest.mark.slow
+def test_fleet_shared_t_to(setup):
+    """shared_t_to=True: every row gets row 0's t_to draw (loop inflation
+    removed); row 0 keeps exact solo/per-row parity."""
+    cfg, unet_params, fleet_key, loras, pair_sets, mk_opt = setup
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", 10)
+    fleet = stack_fleet(loras)
+    optimizer = mk_opt(fleet)
+    kw = dict(
+        n_sliders=2, max_denoising_steps=10, resolution=128, batch_size=1,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+    )
+    per_row = make_fleet_text_step(cfg, schedule, sampler, optimizer, **kw)
+    shared = make_fleet_text_step(
+        cfg, schedule, sampler, optimizer, shared_t_to=True, **kw
+    )
+    pairs = stack_fleet_pairs(pair_sets)
+    s_a, m_a = per_row(
+        SliderTrainState.create(fleet_key, fleet, optimizer), unet_params, pairs
+    )
+    s_b, m_b = shared(
+        SliderTrainState.create(fleet_key, fleet, optimizer), unet_params, pairs
+    )
+    t_b = np.asarray(m_b["t_to"])
+    assert (t_b == t_b[0]).all()
+    assert int(t_b[0]) == int(np.asarray(m_a["t_to"])[0])  # row 0's own draw
+    np.testing.assert_allclose(
+        float(m_a["loss"][0]), float(m_b["loss"][0]), rtol=1e-5
+    )
+    row0_a = unstack_fleet(jax.device_get(s_a.lora))[0]
+    row0_b = unstack_fleet(jax.device_get(s_b.lora))[0]
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=0, atol=1e-5),
+        row0_a, row0_b,
+    )
+    assert np.isfinite(np.asarray(m_b["loss"])).all()

@@ -107,3 +107,77 @@ def test_train_image_slider_cli_chunked_matches_unchunked(tmp_path):
     assert set(w1) == set(w3)
     for k in w1:
         np.testing.assert_allclose(w3[k], w1[k], atol=1e-5, err_msg=k)
+
+
+def test_train_image_slider_cli_stylecheck_fleet(tmp_path):
+    """--stylecheck --fleet trains one slider per style folder CONCURRENTLY
+    (training/fleet.make_fleet_image_step) and writes every style's solo
+    artifact set."""
+    from PIL import Image
+
+    snap = make_tiny_snapshot(str(tmp_path / "snap"))
+    styles = tmp_path / "styles"
+    rng = np.random.default_rng(0)
+    for style, base in (("style1", 50), ("style2", 150)):
+        for folder, off in (("small", 0), ("big", 60)):
+            d = styles / style / folder
+            os.makedirs(d)
+            for name in ("a.png", "b.png"):
+                arr = (rng.random((48, 48, 3)) * 30 + base + off).astype(np.uint8)
+                Image.fromarray(arr).save(d / name)
+
+    prompts = tmp_path / "prompts.yaml"
+    prompts.write_text(
+        "- target: ''\n  positive: ''\n  unconditional: ''\n  neutral: ''\n"
+        "  guidance_scale: 1\n  resolution: 48\n"
+    )
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        f"""
+prompts_file: {prompts}
+pretrained_model:
+  name_or_path: {snap}
+network:
+  rank: 2
+  training_method: noxattn
+train:
+  precision: float32
+  iterations: 4
+  lr: 0.001
+  max_denoising_steps: 5
+save:
+  name: size
+  path: {tmp_path}/out
+  per_steps: 2
+tpu:
+  remat: false
+  donate: false
+  steps_per_call: 2
+"""
+    )
+
+    from sliders_tpu.cli.train_image_slider import build_parser, main
+
+    main(build_parser().parse_args(
+        [
+            "--config_file", str(cfg),
+            "--folder_main", str(styles),
+            "--folders", "small, big",
+            "--scales=-1, 1",
+            "--resolution", "48",
+            "--stylecheck", "yes",
+            "--fleet",
+        ]
+    ))
+
+    out = tmp_path / "out" / "size_alpha1.0_rank2_noxattn"
+    from safetensors.numpy import load_file
+
+    ws = []
+    for style in ("style1", "style2"):
+        f = out / f"{style}_size_alpha1.0_rank2_noxattn_last.safetensors"
+        assert f.exists(), os.listdir(out)
+        ws.append(load_file(f))
+    assert set(ws[0]) == set(ws[1])
+    # different style data -> different adapters
+    assert any((ws[0][k] != ws[1][k]).any() for k in ws[0])
