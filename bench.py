@@ -290,6 +290,133 @@ def main_fleet(n_sliders: int = None):
     emit("sharedt", chunk / best_sample(shared_once, samples=5))
 
 
+def main_fleet_image(n_sliders: int = None):
+    """Image-slider FLEET step (training/fleet.make_fleet_image_step): N
+    image sliders per jitted iteration at the reference 256px protocol.
+    Times the solo image step (same program as --model image) then the
+    fleet step; the image trainer has no denoise loop and is far from
+    MXU saturation at its 2-row batch, so this probes the regime where
+    the fleet economics should flip positive (BASELINE.md round-4 fleet
+    table). BENCH_FLEET_K overrides N (default 4)."""
+    import os
+
+    import numpy as np
+
+    if n_sliders is None:
+        n_sliders = int(os.environ.get("BENCH_FLEET_K", "4"))
+
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.lora import network as lnet
+    from sliders_tpu.models import unet2d, vae
+    from sliders_tpu.training import optimizers as opt_factory
+    from sliders_tpu.training.fleet import make_fleet_image_step, stack_fleet
+    from sliders_tpu.training.image_slider import make_image_slider_step
+    from sliders_tpu.training.text_slider import SliderTrainState
+
+    cfg = unet2d.SD15
+    vae_cfg = vae.SD_VAE
+    unet_params = jax.jit(lambda k: unet2d.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    vae_params = jax.jit(lambda k: vae.init_params(k, vae_cfg, dtype=jnp.bfloat16))(
+        jax.random.key(1)
+    )
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", num_steps=50)
+    loras = [
+        lnet.create_slider_network(
+            jax.random.fold_in(jax.random.key(2), r), unet_params, rank=4,
+            alpha=1.0, train_method="noxattn", init_a=5 ** 0.5,
+        )
+        for r in range(n_sliders)
+    ]
+    lr = opt_factory.make_lr_schedule("constant", 2e-4, 1000)
+    chunk = 10
+    fleet_tree = stack_fleet(loras)  # before the donating solo phase
+
+    ks = jax.random.split(jax.random.key(4), 4)
+    host = np.random.default_rng(0)
+
+    def embeds(k=None):
+        e = {
+            "positive": jax.random.normal(ks[0], (77, 768), jnp.bfloat16),
+            "neutral": jax.random.normal(ks[1], (77, 768), jnp.bfloat16),
+        }
+        if k is not None:  # fleet layout: leading (K,) slider axis
+            e = {kk: jnp.broadcast_to(v, (k,) + v.shape) for kk, v in e.items()}
+        return e
+
+    # ---- solo rate (program shared with --model image) ----
+    solo_opt = opt_factory.make_optimizer(
+        "adamw", lr, trainable_mask=lnet.trainable_mask(loras[0])
+    )
+    solo_step = make_image_slider_step(
+        cfg, vae_cfg, schedule, sampler, solo_opt,
+        max_denoising_steps=50, compute_dtype=jnp.bfloat16, remat=False,
+        donate=True, chunk=chunk,
+    )
+    solo_batch = dict(
+        embeds(),
+        unconditional=jax.random.normal(ks[2], (77, 768), jnp.bfloat16),
+        images_high=host.integers(0, 256, (chunk, 1, 256, 256, 3), dtype=np.uint8),
+        images_low=host.integers(0, 256, (chunk, 1, 256, 256, 3), dtype=np.uint8),
+        scale=jnp.ones((chunk,), jnp.float32),
+    )
+    state = SliderTrainState.create(jax.random.key(3), loras[0], solo_opt)
+    state, metrics = solo_step(state, unet_params, vae_params, solo_batch)
+    _ = np.asarray(metrics["loss"])
+
+    def solo_once():
+        nonlocal state, metrics
+        for _ in range(2):
+            state, metrics = solo_step(state, unet_params, vae_params, solo_batch)
+        _ = np.asarray(metrics["loss"])
+
+    solo_rate = 2 * chunk / best_sample(solo_once, samples=5)
+
+    # ---- fleet rate ----
+    fleet_opt = opt_factory.make_optimizer(
+        "adamw", lr, trainable_mask=lnet.trainable_mask(fleet_tree)
+    )
+    fleet_step = make_fleet_image_step(
+        cfg, vae_cfg, schedule, sampler, fleet_opt, n_sliders=n_sliders,
+        max_denoising_steps=50, compute_dtype=jnp.bfloat16, remat=False,
+        donate=True, chunk=chunk,
+    )
+    fleet_batch = dict(
+        embeds(n_sliders),
+        images_high=host.integers(
+            0, 256, (chunk, n_sliders, 1, 256, 256, 3), dtype=np.uint8
+        ),
+        images_low=host.integers(
+            0, 256, (chunk, n_sliders, 1, 256, 256, 3), dtype=np.uint8
+        ),
+        scale=jnp.ones((chunk, n_sliders), jnp.float32),
+    )
+    fstate = SliderTrainState.create(jax.random.key(3), fleet_tree, fleet_opt)
+    fstate, fmetrics = fleet_step(fstate, unet_params, vae_params, fleet_batch)
+    _ = np.asarray(fmetrics["loss"])
+
+    def fleet_once():
+        nonlocal fstate, fmetrics
+        for _ in range(2):
+            fstate, fmetrics = fleet_step(fstate, unet_params, vae_params, fleet_batch)
+        _ = np.asarray(fmetrics["loss"])
+
+    iter_rate = 2 * chunk / best_sample(fleet_once, samples=5)
+    aggregate = iter_rate * n_sliders
+    print(json.dumps({
+        "metric": f"sd15_fleet{n_sliders}_image_train_slider_steps_per_sec_chip",
+        "value": round(aggregate, 4),
+        "unit": "slider-steps/sec",
+        "vs_baseline": round(aggregate / solo_rate, 4),
+        "n_sliders": n_sliders,
+        "solo_steps_per_sec": round(solo_rate, 4),
+        "fleet_iterations_per_sec": round(iter_rate, 4),
+        "note": "vs_baseline = aggregate speedup vs sequential solo runs",
+    }))
+
+
 def main_flux():
     """Secondary metric: layer-reduced FLUX slider train step (see module
     docstring). Records in BASELINE.md, not the driver headline."""
@@ -1038,6 +1165,7 @@ def main_all():
         ("sd15", main),
         ("sdxl", main_sdxl),
         ("fleet", main_fleet),
+        ("fleet_image", main_fleet_image),
         ("flux", main_flux),
         ("sample", main_sample),
         ("turbo", main_turbo),
@@ -1060,6 +1188,8 @@ def main_all():
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
+    elif "--model" in sys.argv and "fleet_image" in sys.argv:
+        main_fleet_image()
     elif "--model" in sys.argv and "fleet" in sys.argv:
         main_fleet()
     elif "--model" in sys.argv and "flux" in sys.argv:
