@@ -137,6 +137,31 @@ def main(args):
 
     dtype = jnp.bfloat16 if args.precision in ("bf16", "bfloat16") else jnp.float32
 
+    if getattr(args, "fleet", None):
+        # fail fast (before the expensive model load) on fleet arg problems
+        names = [
+            os.path.basename(p).replace(".pt", "").replace(".safetensors", "")
+            for p in args.fleet
+        ]
+        dup = sorted({n for n in names if names.count(n) > 1})
+        if dup:
+            # output folders are keyed by basename; two entries sharing one
+            # (e.g. out1/age_last.pt and out2/age_last.pt) would silently
+            # overwrite each other's sweeps
+            raise SystemExit(
+                f"--fleet entries share basename(s) {dup}; rename the "
+                "checkpoints or pass them in separate runs"
+            )
+        # infer the sweep per checkpoint (hspace/last sliders widen to +-5);
+        # a fleet mixing conventions has no single correct sweep
+        per_ckpt = [_infer_scales(p) for p in args.fleet]
+        if args.scales is None and any(s != per_ckpt[0] for s in per_ckpt):
+            raise SystemExit(
+                "--fleet checkpoints imply different scale sweeps "
+                f"({dict(zip(args.fleet, per_ckpt))}); pass --scales "
+                "explicitly to sweep them together"
+            )
+
     if args.xl:
         models = loader.load_sdxl(args.base, dtype=dtype, load_vae=True)
     else:
@@ -186,6 +211,7 @@ def main(args):
             )
             for p in args.fleet
         ]
+        # the sweep was validated per-checkpoint before model load
         inferred_scales = _infer_scales(args.fleet[0])
     elif args.model_name:
         weights = lora_io.load_slider(args.model_name, models.unet_params)

@@ -304,7 +304,9 @@ def train_text_sliders(
                 on_step(sj, state, m)
 
             if (
-                sj % config.save.per_steps == 0
+                config.save.per_steps
+                and config.save.per_steps > 0
+                and sj % config.save.per_steps == 0
                 and sj != 0
                 and sj != config.train.iterations - 1
             ):

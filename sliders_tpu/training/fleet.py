@@ -278,19 +278,23 @@ def make_fleet_text_step(
         return rep_scalar(v).reshape(KB, 1, 1, 1)
 
     def freeze_rows(new, old, active):
-        """Per-leaf `where` that freezes inactive slider rows. Leaves are
-        either row-major ((KB, ...) — latents) or history-major
-        ((ORDER, KB, ...) — the LMS derivs carry)."""
+        """Freeze inactive slider rows STRUCTURALLY: the latent carry is
+        row-major ((KB, ...)) and every sampler-state leaf is history-major
+        ((ORDER, KB, ...) — the LMS derivs carry; ddim/ddpm/euler_a carry
+        an empty dict). Shape sniffing here is unsafe: when KB == LMS_ORDER
+        (e.g. the default fleet-4 with batch 1) a (4, KB, ...) derivs leaf
+        is indistinguishable from a row-major one by shape alone and the
+        mask would silently land on the history axis."""
         act = rep_scalar(active)
+        (x_new, s_new), (x_old, s_old) = new, old
 
-        def sel(n, o):
-            if n.shape[:1] == (KB,):
-                m = act.reshape((KB,) + (1,) * (n.ndim - 1))
-            else:
-                m = act.reshape((1, KB) + (1,) * (n.ndim - 2))
+        x = jnp.where(act.reshape((KB,) + (1,) * (x_new.ndim - 1)), x_new, x_old)
+
+        def sel_state(n, o):
+            m = act.reshape((1, KB) + (1,) * (n.ndim - 2))
             return jnp.where(m, n, o)
 
-        return jax.tree.map(sel, new, old)
+        return x, jax.tree.map(sel_state, s_new, s_old)
 
     def step_fn(state: SliderTrainState, unet_params: dict, pairs: dict):
         # ---- per-row RNG: row r == solo run keyed fold_in(fleet_key, r) ----
@@ -807,7 +811,9 @@ def train_fleet(
             if on_step is not None:
                 on_step(sj, state, m)
             if (
-                sj % config.save.per_steps == 0
+                config.save.per_steps
+                and config.save.per_steps > 0
+                and sj % config.save.per_steps == 0
                 and sj != 0
                 and sj != config.train.iterations - 1
             ):

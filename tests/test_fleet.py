@@ -97,6 +97,36 @@ def test_stack_fleet_pairs_pads_and_bounds():
     np.testing.assert_array_equal(stacked["target"][0, 2], stacked["target"][0, 0])
 
 
+def test_generate_cli_fleet_arg_guards(tmp_path):
+    """--fleet arg validation fires BEFORE model load: duplicate basenames
+    (folder-collision) and per-checkpoint scale-sweep disagreement without
+    an explicit --scales both SystemExit fast."""
+    from sliders_tpu.cli.generate_images import build_parser, main
+
+    common = ["--base", "/nonexistent", "--prompts_path", "/nonexistent.csv",
+              "--save_path", str(tmp_path)]
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    for d in (d1, d2):
+        (d / "ageslider_last.pt").write_bytes(b"")
+    args = build_parser().parse_args(
+        common + ["--fleet", str(d1 / "ageslider_last.pt"),
+                  "--fleet", str(d2 / "ageslider_last.pt")]
+    )
+    with pytest.raises(SystemExit, match="share basename"):
+        main(args)
+
+    # hspace slider (+-5 sweep) mixed with a normal one (default sweep)
+    hs = tmp_path / "thing_hspace_last.pt"
+    norm = tmp_path / "otherslider_last.pt"
+    hs.write_bytes(b""); norm.write_bytes(b"")
+    args = build_parser().parse_args(
+        common + ["--fleet", str(hs), "--fleet", str(norm)]
+    )
+    with pytest.raises(SystemExit, match="different scale sweeps"):
+        main(args)
+
+
 def test_fleet_rejects_ancestral_sampler_and_global_optimizers():
     schedule = make_schedule()
     lr = opt_factory.make_lr_schedule("constant", 1e-4, 10)
@@ -197,6 +227,65 @@ def test_fleet_rows_match_solo_runs(setup):
                     solo_final[r][name][leaf], solo_w[leaf], rtol=0, atol=1e-5,
                     err_msg=f"row {r} {name}.{leaf} diverged from solo run",
                 )
+
+
+@pytest.mark.slow
+def test_fleet_lms_k4_rows_match_solo_runs():
+    """LMS fleet parity at the adversarial size K*B == LMS_ORDER == 4.
+
+    Regression for a freeze-mask bug: freeze_rows used to tell the
+    row-major latent carry apart from the history-major (ORDER, KB, ...)
+    LMS derivs carry by shape sniffing, so at KB == 4 the derivs leaf was
+    misclassified and the per-row freeze landed on the history axis,
+    corrupting every row's LMS history (K=2 matched, K=4 diverged)."""
+    cfg = unet2d.TINY
+    unet_params = unet2d.init_params(jax.random.key(0), cfg)
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "lms", num_steps=10)
+    lr_sched = opt_factory.make_lr_schedule("constant", 1e-4, 100)
+    fleet_key = jax.random.key(3)
+    K = 4
+    loras = _make_loras(unet_params, K, jax.random.key(5))
+    pair_sets = [
+        _make_pairs(jax.random.key(20 + r), n_pairs=2, gs=4.0 - 2.0 * r)
+        for r in range(K)
+    ]
+
+    def mk_opt(tree):
+        return opt_factory.make_optimizer(
+            "adamw", lr_sched, trainable_mask=lnet.trainable_mask(tree)
+        )
+
+    fleet = stack_fleet(loras)
+    optimizer = mk_opt(fleet)
+    kw = dict(
+        max_denoising_steps=10, resolution=128, batch_size=1,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+    )
+    step = make_fleet_text_step(
+        cfg, schedule, sampler, optimizer, n_sliders=K, **kw
+    )
+    state = SliderTrainState.create(fleet_key, fleet, optimizer)
+    fleet_ms = []
+    for _ in range(2):
+        state, m = step(state, unet_params, stack_fleet_pairs(pair_sets))
+        fleet_ms.append(m)
+
+    for r in range(K):
+        solo_opt = mk_opt(loras[r])
+        solo_step = make_text_slider_step(
+            cfg, schedule, sampler, solo_opt, **kw
+        )
+        solo_state = SliderTrainState.create(
+            jax.random.fold_in(fleet_key, r), loras[r], solo_opt
+        )
+        for i in range(2):
+            solo_state, m = solo_step(solo_state, unet_params, pair_sets[r])
+            assert int(m["t_to"]) == int(fleet_ms[i]["t_to"][r])
+            np.testing.assert_allclose(
+                float(m["loss"]), float(fleet_ms[i]["loss"][r]), rtol=1e-5,
+                err_msg=f"row {r} step {i} lms loss diverged from solo",
+            )
 
 
 @pytest.mark.slow
