@@ -209,6 +209,7 @@ def main_fleet(n_sliders: int = None):
     # stacks: each mode's donated state consumes one)
     fleet_tree = stack_fleet(loras)
     fleet_tree_shared = stack_fleet(loras)
+    fleet_tree_strat = stack_fleet(loras)
 
     # ---- solo reference rate (same program as the sd15 mode) ----
     solo_opt = opt_factory.make_optimizer(
@@ -288,6 +289,27 @@ def main_fleet(n_sliders: int = None):
         _ = np.asarray(smetrics["loss"])
 
     emit("sharedt", chunk / best_sample(shared_once, samples=5))
+
+    # ---- stratified mode: per-STEP shared coarse stratum + independent
+    # within-stratum jitter (training/fleet.draw_fleet_t_to) — exact uniform
+    # per-row marginals, loop inflation ~1.07x analytic vs per-row's 1.6x,
+    # without shared-t_to's full draw correlation ----
+    strat_step = make_fleet_text_step(
+        cfg, schedule, sampler, fleet_opt,
+        n_sliders=n_sliders, max_denoising_steps=50, resolution=512,
+        batch_size=1, compute_dtype=jnp.bfloat16, remat=False, donate=True,
+        chunk=chunk, t_to_mode="stratified", t_to_strata=8,
+    )
+    tstate = SliderTrainState.create(jax.random.key(2), fleet_tree_strat, fleet_opt)
+    tstate, tmetrics = strat_step(tstate, unet_params, fpairs)
+    _ = np.asarray(tmetrics["loss"])
+
+    def strat_once():
+        nonlocal tstate, tmetrics
+        tstate, tmetrics = strat_step(tstate, unet_params, fpairs)
+        _ = np.asarray(tmetrics["loss"])
+
+    emit("stratified", chunk / best_sample(strat_once, samples=5))
 
 
 def main_fleet_image(n_sliders: int = None):

@@ -103,7 +103,8 @@ def main(args):
 
     train_fleet(
         config, prompt_sets, models, mesh=mesh, resume_from=args.resume,
-        shared_t_to=args.shared_t_to,
+        shared_t_to=args.shared_t_to, t_to_mode=args.t_to_mode,
+        t_to_strata=args.t_to_strata,
     )
 
 
@@ -133,6 +134,21 @@ def build_parser():
         "removes the E[max_K t_to] denoise-loop inflation (~1.6x for K=4) "
         "at the cost of correlated (not per-slider-stream) t_to draws; "
         "per-slider marginals are unchanged.",
+    )
+    parser.add_argument(
+        "--t_to_mode", default=None,
+        choices=["per_row", "shared", "stratified"],
+        help="joint distribution of the K rows' t_to draws (marginals stay "
+        "Uniform{1..T-1} in every mode): per_row = i.i.d. solo streams "
+        "(E[max] loop inflation ~1.6x at K=4), shared = row 0's draw for "
+        "all (optimal loop, fully correlated), stratified = shared coarse "
+        "stratum + independent within-stratum jitter (~7%% inflation at "
+        "K=4/S=8, correlation only through the stratum).",
+    )
+    parser.add_argument(
+        "--t_to_strata", type=int, default=8,
+        help="stratum count S for --t_to_mode stratified (larger = faster "
+        "loop, coarser shared quantization).",
     )
     return parser
 

@@ -162,6 +162,39 @@ def _tile_tree(tree: dict, reps: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def draw_fleet_t_to(fleet_key, step, k_t, max_denoising_steps, *, mode, strata=8):
+    """The K rows' partial-denoise depths for one fleet iteration.
+
+    `k_t` is the (K, key) array of per-row t_to keys (row r's solo stream);
+    `fleet_key`/`step` seed the step-level SHARED stratum draw. Every mode
+    keeps each row's marginal exactly Uniform{1..max_denoising_steps-1}
+    (the reference draw, train_lora.py:163-170); they differ only in the
+    joint distribution — see make_fleet_text_step's docstring for the
+    E[max_K] economics."""
+    K = k_t.shape[0]
+    if mode == "stratified":
+        # one coarse stratum per STEP (shared key: no row fold), exact
+        # per-row uniform marginal via the inverse-CDF of (s+u)/S
+        shared_key = jax.random.fold_in(
+            jax.random.fold_in(fleet_key, 0x5742A7), step
+        )
+        s = jax.random.randint(shared_key, (), 0, strata)
+        u = jax.vmap(lambda k: jax.random.uniform(k))(k_t)  # (K,)
+        R = max_denoising_steps - 1
+        t_to = 1 + jnp.floor(
+            (s.astype(jnp.float32) + u) * R / strata
+        ).astype(jnp.int32)  # (K,) in {1..R}
+        # f32 rounding of (S-1)+u can hit S exactly at u ~ 1-ulp;
+        # clamp so the 1000-step grid lookup stays in range
+        return jnp.clip(t_to, 1, R)
+    t_to = jax.vmap(
+        lambda k: jax.random.randint(k, (), 1, max_denoising_steps)
+    )(k_t)  # (K,)
+    if mode == "shared":
+        t_to = jnp.broadcast_to(t_to[0], (K,))
+    return t_to
+
+
 def make_fleet_text_step(
     unet_cfg: unet2d.UNetConfig,
     schedule: DiffusionSchedule,
@@ -181,6 +214,8 @@ def make_fleet_text_step(
     donate: bool = True,
     chunk: int = 1,
     shared_t_to: bool = False,
+    t_to_mode: Optional[str] = None,
+    t_to_strata: int = 8,
 ):
     """Build the jitted fleet step:
     step(state, unet_params, pairs) -> (new_state, metrics).
@@ -191,12 +226,52 @@ def make_fleet_text_step(
     training/text_slider.py (train_lora.py:155-309); see the module
     docstring for the exact solo-parity contract.
 
-    ``shared_t_to=True`` gives every row ROW 0's t_to draw: per-slider
-    marginals are unchanged (t_to is an exogenous uniform draw and sliders
-    never interact) but draws correlate across the fleet, killing the
-    E[max_K t_to] ~ 50*K/(K+1) denoise-loop inflation of the per-row mode
-    (measured on TPU, BASELINE.md round-4 fleet table). Row 0 keeps exact
-    solo parity; rows >0 trade their t_to stream for throughput."""
+    ``t_to_mode`` picks how the K rows draw their partial-denoise depth
+    t_to (the reference's `timesteps_to`, train_lora.py:163-170 — an
+    exogenous Uniform{1..T-1} draw; sliders never interact through it).
+    The denoise fori_loop runs to max_r(t_to_r), so the draws' JOINT
+    distribution sets the loop length while each row's training
+    distribution only needs the MARGINAL to stay Uniform{1..T-1}:
+
+    - ``"per_row"`` (default): i.i.d. per row; row r reproduces the solo
+      stream exactly, but E[max_K] ~ (T-1)*K/(K+1) inflates the loop 1.6x
+      at K=4 (measured, BASELINE.md round-4 fleet table).
+    - ``"shared"``: every row gets ROW 0's draw — E[loop] = (T-1)/2
+      (optimal: with fixed uniform marginals, E[max] is minimized by
+      comonotone draws), but all rows' timestep noise is perfectly
+      correlated. Row 0 keeps exact solo parity.
+    - ``"stratified"``: one stratum index s ~ Uniform{0..S-1} is drawn
+      PER STEP (shared across rows, S = ``t_to_strata``), then row r
+      jitters independently within the stratum:
+          t_to_r = 1 + floor((s + u_r) * (T-1) / S),  u_r ~ U[0,1).
+      s uniform + u_r uniform makes (s+u_r)/S exactly U[0,1), so each
+      row's marginal is exactly Uniform{1..T-1}; rows correlate ONLY
+      through the shared coarse stratum (spread <= ceil((T-1)/S)), and
+      E[loop] = (T-1)/S * ((S-1)/2 + K/(K+1)) + 1 — inflation
+      1 + (K-1)/((K+1)*... ~ 7% at K=4, S=8, T=50 vs per_row's 60%.
+      (NB: giving rows DISJOINT strata per step would instead pin the max
+      in the top stratum every step — E[max] ~ (T-1)*(2S-1)/(2S), WORSE
+      than i.i.d.; negatively-correlated draws are the wrong direction
+      for a max.) No row keeps the solo stream; marginal uniformity is
+      pinned by tests/test_fleet.py::test_fleet_stratified_t_to_marginal.
+
+    ``shared_t_to=True`` is back-compat sugar for t_to_mode="shared"."""
+    if t_to_mode is None:
+        t_to_mode = "shared" if shared_t_to else "per_row"
+    elif shared_t_to and t_to_mode != "shared":
+        raise ValueError(
+            f"shared_t_to=True conflicts with t_to_mode={t_to_mode!r}"
+        )
+    if t_to_mode not in ("per_row", "shared", "stratified"):
+        raise ValueError(
+            f"t_to_mode must be per_row/shared/stratified, got {t_to_mode!r}"
+        )
+    if t_to_mode == "stratified" and not (
+        1 <= t_to_strata <= max_denoising_steps - 1
+    ):
+        raise ValueError(
+            f"t_to_strata={t_to_strata} must be in [1, {max_denoising_steps - 1}]"
+        )
     if sampler.kind in ("ddpm", "euler_a"):
         raise NotImplementedError(
             f"fleet training does not support the ancestral '{sampler.kind}' "
@@ -309,11 +384,10 @@ def make_fleet_text_step(
         embeds = {k: v for k, v in pairs.items() if k != "n_pairs"}
         idx = jax.vmap(lambda k, n: jax.random.randint(k, (), 0, n))(k_pair, n_pairs)
         pair = jax.tree.map(lambda a: a[rows, idx], embeds)  # (K, ...)
-        t_to = jax.vmap(lambda k: jax.random.randint(k, (), 1, max_denoising_steps))(
-            k_t
-        )  # (K,)
-        if shared_t_to:
-            t_to = jnp.broadcast_to(t_to[0], (K,))
+        t_to = draw_fleet_t_to(
+            state.key, state.step, k_t, max_denoising_steps,
+            mode=t_to_mode, strata=t_to_strata,
+        )
 
         if is_xl and "dynamic_crops" in pair:
             from sliders_tpu.pipelines.text2image import get_add_time_ids
@@ -643,6 +717,8 @@ def train_fleet(
     seed: int = 0,
     on_step=None,
     shared_t_to: bool = False,
+    t_to_mode: Optional[str] = None,
+    t_to_strata: int = 8,
 ) -> "list[dict]":
     """Train len(prompt_sets) sliders concurrently; returns the solo LoRA
     trees in input order. `prompt_sets` is [(slider_name, [PromptSettings])].
@@ -750,6 +826,8 @@ def train_fleet(
                 donate=tpu.donate,
                 chunk=chunk,
                 shared_t_to=shared_t_to,
+                t_to_mode=t_to_mode,
+                t_to_strata=t_to_strata,
             )
         return step_fns[chunk]
 

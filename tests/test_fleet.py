@@ -97,6 +97,74 @@ def test_stack_fleet_pairs_pads_and_bounds():
     np.testing.assert_array_equal(stacked["target"][0, 2], stacked["target"][0, 0])
 
 
+def test_stratified_t_to_marginal_and_spread():
+    """stratified t_to: each row's marginal is exactly Uniform{1..T-1}
+    (chi-square over 20k steps), within-step spread is bounded by the
+    stratum width, and the empirical E[max_K] sits near the analytic
+    (T-1)/S*((S-1)/2 + K/(K+1)) + 1 — well below per_row's (T-1)*K/(K+1)."""
+    from sliders_tpu.training.fleet import draw_fleet_t_to
+
+    K, T, S, N = 4, 50, 8, 20000
+    fleet_key = jax.random.key(7)
+    rows = jnp.arange(K)
+
+    def one_step(step):
+        keys = jax.vmap(
+            lambda r: jax.random.fold_in(jax.random.fold_in(fleet_key, r), step)
+        )(rows)
+        k_t = jax.vmap(lambda k: jax.random.split(k, 5))(keys)[:, 1]
+        return (
+            draw_fleet_t_to(fleet_key, step, k_t, T, mode="stratified", strata=S),
+            draw_fleet_t_to(fleet_key, step, k_t, T, mode="per_row"),
+        )
+
+    strat, per_row = jax.jit(jax.vmap(one_step))(jnp.arange(N))
+    strat, per_row = np.asarray(strat), np.asarray(per_row)  # (N, K)
+
+    assert strat.min() >= 1 and strat.max() <= T - 1
+    R = T - 1
+    # per-row marginal uniform over {1..49}: chi-square, dof=48,
+    # p=0.999 critical value ~ 83.7 -> gate loosely at 90
+    for r in range(K):
+        counts = np.bincount(strat[:, r], minlength=T)[1:T]
+        expected = N / R
+        chi2 = float(((counts - expected) ** 2 / expected).sum())
+        assert chi2 < 90, (r, chi2)
+
+    # within-step spread bounded by stratum width (+1 for the floor seam)
+    spread = strat.max(axis=1) - strat.min(axis=1)
+    assert spread.max() <= int(np.ceil(R / S)) + 1
+
+    # loop-length economics: E[max] near analytic, far below per_row's
+    e_max_strat = strat.max(axis=1).mean()
+    e_max_perrow = per_row.max(axis=1).mean()
+    analytic = R / S * ((S - 1) / 2 + K / (K + 1)) + 1
+    assert abs(e_max_strat - analytic) < 1.0, (e_max_strat, analytic)
+    assert e_max_strat < 0.75 * e_max_perrow  # ~27.3 vs ~40.2
+
+
+def test_fleet_t_to_mode_validation():
+    schedule = make_schedule()
+    lr = opt_factory.make_lr_schedule("constant", 1e-4, 10)
+    opt = opt_factory.make_optimizer("adamw", lr)
+    kw = dict(n_sliders=2)
+    with pytest.raises(ValueError, match="conflicts"):
+        make_fleet_text_step(
+            unet2d.TINY, schedule, make_sampler(schedule, "ddim", 10), opt,
+            shared_t_to=True, t_to_mode="stratified", **kw,
+        )
+    with pytest.raises(ValueError, match="t_to_mode"):
+        make_fleet_text_step(
+            unet2d.TINY, schedule, make_sampler(schedule, "ddim", 10), opt,
+            t_to_mode="bogus", **kw,
+        )
+    with pytest.raises(ValueError, match="t_to_strata"):
+        make_fleet_text_step(
+            unet2d.TINY, schedule, make_sampler(schedule, "ddim", 10), opt,
+            t_to_mode="stratified", t_to_strata=0, **kw,
+        )
+
+
 def test_generate_cli_fleet_arg_guards(tmp_path):
     """--fleet arg validation fires BEFORE model load: duplicate basenames
     (folder-collision) and per-checkpoint scale-sweep disagreement without
@@ -599,3 +667,46 @@ def test_fleet_shared_t_to(setup):
         row0_a, row0_b,
     )
     assert np.isfinite(np.asarray(m_b["loss"])).all()
+
+
+@pytest.mark.slow
+def test_fleet_stratified_t_to_step(setup):
+    """t_to_mode='stratified' runs end-to-end: the step's reported t_to
+    draws live in bounds, sit within one stratum of each other, and match
+    draw_fleet_t_to's prediction for the same (key, step); losses finite
+    and weights move."""
+    from sliders_tpu.training.fleet import draw_fleet_t_to
+
+    cfg, unet_params, fleet_key, loras, pair_sets, mk_opt = setup
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, "ddim", 10)
+    fleet = stack_fleet(loras)
+    optimizer = mk_opt(fleet)
+    T, S = 10, 3
+    step = make_fleet_text_step(
+        cfg, schedule, sampler, optimizer, n_sliders=2,
+        max_denoising_steps=T, resolution=128, batch_size=1,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+        t_to_mode="stratified", t_to_strata=S,
+    )
+    state0 = SliderTrainState.create(fleet_key, fleet, optimizer)
+    state, m = step(state0, unet_params, stack_fleet_pairs(pair_sets))
+    t = np.asarray(m["t_to"])
+    assert t.min() >= 1 and t.max() <= T - 1
+    assert t.max() - t.min() <= int(np.ceil((T - 1) / S)) + 1
+
+    rows = jnp.arange(2)
+    keys = jax.vmap(
+        lambda r: jax.random.fold_in(jax.random.fold_in(state0.key, r), state0.step)
+    )(rows)
+    k_t = jax.vmap(lambda k: jax.random.split(k, 5))(keys)[:, 1]
+    expected = draw_fleet_t_to(
+        state0.key, state0.step, k_t, T, mode="stratified", strata=S
+    )
+    np.testing.assert_array_equal(t, np.asarray(expected))
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.lora, state0.lora,
+    ))
+    assert max(moved) > 0
