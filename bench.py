@@ -62,19 +62,74 @@ def best_sample(run_once, samples: int = SAMPLES) -> float:
     return best
 
 
-def steps_line(metric: str, steps_per_sec: float) -> str:
-    """One self-describing JSON line for a train-step throughput metric."""
+# TPU v5e peak: 197 TFLOP/s bf16 per chip (public spec) — the MFU
+# denominator for the analytic utilization estimate below
+PEAK_BF16_FLOPS = 197e12
+
+
+def steps_line(metric: str, steps_per_sec: float, flops_per_iter=None) -> str:
+    """One self-describing JSON line for a train-step throughput metric.
+    `flops_per_iter` (analytic, see train_iter_flops) adds an MFU estimate;
+    every line carries the margin to the BASELINE.json 10-min north star."""
     projected = 1000.0 / steps_per_sec / 60.0
-    return json.dumps(
-        {
-            "metric": metric,
-            "value": round(steps_per_sec, 4),
-            "unit": "steps/sec",
-            "vs_baseline": round(NORTH_STAR_MINUTES / projected, 4),
-            "projected_minutes_per_1000_iters": round(projected, 2),
-            "north_star_minutes": NORTH_STAR_MINUTES,
-        }
+    out = {
+        "metric": metric,
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(NORTH_STAR_MINUTES / projected, 4),
+        "projected_minutes_per_1000_iters": round(projected, 2),
+        "north_star_minutes": NORTH_STAR_MINUTES,
+        "north_star_margin_pct": round(
+            (NORTH_STAR_MINUTES - projected) / NORTH_STAR_MINUTES * 100, 1
+        ),
+    }
+    if flops_per_iter:
+        out["mfu_pct_analytic"] = round(
+            flops_per_iter * steps_per_sec / PEAK_BF16_FLOPS * 100, 1
+        )
+        out["flops_per_iter_analytic_tflop"] = round(flops_per_iter / 1e12, 2)
+    return json.dumps(out)
+
+
+def train_iter_flops(cfg, *, resolution=512, batch=1, is_xl=False) -> float:
+    """Analytic FLOPs of ONE text-slider train iteration, from XLA's HLO
+    cost analysis of a single UNet forward (client-side lowering — no
+    remote compile). Accounting (training/text_slider.py structure):
+
+      - partial denoise: E[t_to] = 25 CFG-doubled forwards (2B rows),
+      - frozen eps: one 3B-row forward,
+      - grad pass: forward + activation-grad backward over B rows; the
+        weight-grad GEMMs touch only the LoRA factors (frozen base), so
+        bwd ~ 1x fwd -> ~2 B-row-forward equivalents.
+
+    Total ~ (2*25 + 3 + 2) * B = 55x the per-row forward. Approximate by
+    design (t_to is sampled; elementwise flops ignored) — good to a few
+    percent for an MFU estimate, not a benchmark number."""
+    from sliders_tpu.models import unet2d
+
+    h = w = resolution // 8
+    D = 2048 if is_xl else 768
+    params_shape = jax.eval_shape(
+        lambda: unet2d.init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     )
+    x = jax.ShapeDtypeStruct((1, h, w, cfg.in_channels), jnp.bfloat16)
+    ehs = jax.ShapeDtypeStruct((1, 77, D), jnp.bfloat16)
+    added = None
+    if is_xl:
+        added = {
+            "text_embeds": jax.ShapeDtypeStruct((1, 1280), jnp.bfloat16),
+            "time_ids": jax.ShapeDtypeStruct((1, 6), jnp.float32),
+        }
+
+    def fwd(p, x, e, a):
+        return unet2d.apply(
+            p, cfg, x, jnp.zeros((x.shape[0],), jnp.float32), e,
+            added_cond=a,
+        )
+
+    lowered = jax.jit(fwd).lower(params_shape, x, ehs, added)
+    f1 = float(lowered.cost_analysis()["flops"])
+    return f1 * batch * (2 * 25 + 3 + 2)
 
 
 def main():
@@ -146,7 +201,10 @@ def main():
         _ = np.asarray(metrics["loss"])  # last chunk's losses depend on all steps
 
     value = calls * chunk / best_sample(run_once, samples=5)
-    print(steps_line("sd15_text_slider_train_steps_per_sec_chip", value))
+    print(steps_line(
+        "sd15_text_slider_train_steps_per_sec_chip", value,
+        flops_per_iter=train_iter_flops(cfg),
+    ))
 
 
 def main_fleet(n_sliders: int = None):
@@ -569,7 +627,10 @@ def main_sdxl(chunk: int = 10) -> float:
         _ = np.asarray(metrics["loss"])
 
     value = calls * chunk / best_sample(run_once, samples=5)
-    print(steps_line("sdxl_text_slider_train_steps_per_sec_chip", value))
+    print(steps_line(
+        "sdxl_text_slider_train_steps_per_sec_chip", value,
+        flops_per_iter=train_iter_flops(cfg, is_xl=True),
+    ))
     return value
 
 
@@ -1027,7 +1088,60 @@ def main_serve():
 
     mt_dt = best_sample(mt_once)
     mt_batches = engine.stats["batches"] - b0
+
+    # ---- continuous phase: STAGGERED arrivals (the regime the boundary
+    # worker loses: a request landing mid-denoise waits the full ~10 s
+    # denoise before admission; the continuous engine admits it at the
+    # next chunk boundary). Same workload through both engines: M 2-scale
+    # requests arriving every (request_latency / 4). ----
+    import time as _time
+
+    M = int(os.environ.get("BENCH_SERVE_M", "8"))  # CPU smoke: set 2-4
+    stagger = dt / 4
+
+    def staggered_round(eng, seed0):
+        outs = [None] * M
+        errs = []
+
+        def one(i):
+            try:
+                _time.sleep(i * stagger)
+                outs[i] = eng.generate(
+                    "photo of a person", seed=seed0 + i,
+                    slider=names[i % 2], scales=[-1.0, 1.0],
+                )
+            except Exception as e:
+                errs.append(e)
+
+        ths = [threading.Thread(target=one, args=(i,)) for i in range(M)]
+        t0 = _time.perf_counter()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        el = _time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        assert all(o is not None and len(o) == 2 for o in outs)
+        return el
+
+    # boundary engine under the same staggered workload
+    bd_t = min(staggered_round(engine, 300), staggered_round(engine, 400))
     engine.close()
+
+    cont = SliderEngine(
+        models,
+        steps=int(os.environ.get("BENCH_SERVE_STEPS", "50")),
+        image_size=int(os.environ.get("BENCH_SERVE_SIZE", "512")),
+        continuous=True,
+        continuous_rows=8,
+        chunk_steps=5,
+    )
+    for nm in ("age", "smile"):
+        cont.register_slider(nm, engine.sliders[nm])
+    cont.warmup(with_slider="age", n_scales=2, multi_tenant=True)  # fresh+join
+    ct_t = min(staggered_round(cont, 500), staggered_round(cont, 600))
+    cont.close()
     server.shutdown()
     print(
         json.dumps(
@@ -1039,6 +1153,10 @@ def main_serve():
                 "images_per_sec": round(len(scales) / dt, 2),
                 "mt_4req_2slider_images_per_sec": round(8 / mt_dt, 2),
                 "mt_denoise_batches_per_round": round(mt_batches / SAMPLES, 2),
+                "staggered_8req_boundary_images_per_sec": round(2 * M / bd_t, 2),
+                "staggered_8req_continuous_images_per_sec": round(2 * M / ct_t, 2),
+                "continuous_vs_boundary_staggered": round(bd_t / ct_t, 2),
+                "continuous_vs_mt_images_per_sec": round((2 * M / ct_t) / (8 / mt_dt), 2),
             }
         )
     )

@@ -59,6 +59,24 @@ def build_parser():
         help="data-parallel devices for batched denoises (-1 = all devices; "
         "1 disables) — request rows shard over the dp mesh axis",
     )
+    p.add_argument(
+        "--continuous", action="store_true",
+        help="step-level continuous batching: keep one fixed row bucket "
+        "permanently in flight, requests join mid-denoise at chunk "
+        "boundaries and exit when their steps complete (best for "
+        "sustained overlapping traffic; SD/XL only, deterministic "
+        "samplers only, incompatible with --dp)",
+    )
+    p.add_argument(
+        "--cont_rows", type=int, default=None,
+        help="continuous-mode row bucket (default: largest --buckets "
+        "entry); every request's scale sweep must fit in it",
+    )
+    p.add_argument(
+        "--chunk_steps", type=int, default=5,
+        help="continuous-mode denoise steps per device call (admission "
+        "granularity; smaller = lower join latency, more dispatches)",
+    )
     return p
 
 
@@ -91,6 +109,11 @@ def main(args):
             )
 
     if args.flux:
+        if args.continuous:
+            raise SystemExit(
+                "--continuous is SD/XL only (the FLUX engine batches at "
+                "request boundaries)"
+            )
         from sliders_tpu.serving.server import FluxSliderEngine
 
         mesh = None
@@ -130,6 +153,9 @@ def main(args):
             compute_dtype=dtype,
             mesh=mesh,
             buckets=buckets,
+            continuous=args.continuous,
+            continuous_rows=args.cont_rows,
+            chunk_steps=args.chunk_steps,
         )
     for spec in args.slider:
         name, _, path = spec.partition("=")

@@ -147,8 +147,11 @@ class Sampler:
 
     def scale_model_input(self, x: jax.Array, i) -> jax.Array:
         if self.kind in ("lms", "euler_a"):
+            # `i` may be a per-row (B,) vector (continuous serving batches
+            # rows at different step positions); _bcast right-pads so the
+            # scalar case divides by the identical f32 value bit-for-bit
             sigma = self.sigmas[i]
-            return x / jnp.sqrt(sigma**2 + 1.0).astype(x.dtype)
+            return x / _bcast(jnp.sqrt(sigma**2 + 1.0), x)
         return x  # ddim / ddpm: identity
 
     def init_state(self, x: jax.Array) -> dict:
@@ -232,8 +235,12 @@ class Sampler:
         deriv, _ = self._sigma_eps_x0(i, model_out, x)
         # history: derivs[0] = newest
         derivs = jnp.concatenate([deriv[None], state["derivs"][:-1]], axis=0)
-        coeffs = self.lms_coeffs[i]  # (LMS_ORDER,) zero-padded for warmup
-        upd = jnp.tensordot(coeffs.astype(x.dtype), derivs, axes=1)
+        coeffs = self.lms_coeffs[i].astype(x.dtype)
+        if coeffs.ndim == 1:  # scalar step position
+            # (LMS_ORDER,) zero-padded for warmup
+            upd = jnp.tensordot(coeffs, derivs, axes=1)
+        else:  # per-row (B,) step positions -> (B, LMS_ORDER) coeff rows
+            upd = jnp.einsum("bo,ob...->b...", coeffs, derivs)
         return x + upd, {"derivs": derivs}
 
     # ---- inversion (DDIM only): x_t -> x_{t+1} along the same grid ----

@@ -146,6 +146,55 @@ def apply_custom_diffusion(unet_params: dict, state: dict, compress: bool = Fals
     return pytree.unflatten(out)
 
 
+def apply_full_text_encoder(te_params: dict, state: dict) -> dict:
+    """Replace a text encoder's params with a checkpoint's full state dict —
+    the reference's `self.text_encoder.load_state_dict(st['text_encoder'])`
+    (generate_images_customdiffusion.py:750-752). Torch-layout weights
+    convert through models/convert.py; the token-embedding matrix may be
+    LARGER than the base encoder's (saved after add_tokens) — the whole
+    resized matrix is taken. Missing params raise (strict load, like
+    torch's); non-param buffers (position_ids) are ignored."""
+    from sliders_tpu.models.convert import convert_state_dict
+
+    edited = pytree.flatten(
+        convert_state_dict(
+            {
+                k: np.asarray(v.float() if hasattr(v, "float") else v)
+                for k, v in state.items()
+                if not k.endswith("position_ids")  # buffer, not a param
+            }
+        )
+    )
+    old = pytree.flatten(te_params)
+    missing = set(old) - set(edited)
+    if missing:
+        raise KeyError(
+            f"text-encoder state dict is missing {len(missing)} params, "
+            f"e.g. {sorted(missing)[:3]}"
+        )
+    unknown = set(edited) - set(old)
+    if unknown:
+        raise KeyError(
+            f"text-encoder state dict has {len(unknown)} unknown params, "
+            f"e.g. {sorted(unknown)[:3]}"
+        )
+    out = {}
+    for k in old:
+        new = edited[k]
+        if (
+            k.endswith("token_embedding.weight")
+            and new.shape[0] >= old[k].shape[0]
+            and new.shape[1] == old[k].shape[1]
+        ):
+            pass  # resized-vocab matrix: take the larger one whole
+        elif tuple(new.shape) != tuple(old[k].shape):
+            raise ValueError(
+                f"text-encoder param {k} shape {new.shape} != {old[k].shape}"
+            )
+        out[k] = jnp.asarray(new, old[k].dtype)
+    return pytree.unflatten(out)
+
+
 def resize_token_embeddings(te_params: dict, new_size: int) -> dict:
     """Grow the token-embedding matrix to `new_size` rows (new rows zero) —
     the JAX equivalent of text_encoder.resize_token_embeddings after
@@ -175,18 +224,30 @@ def load_custom_diffusion(
     The delta dict (torch.save format) holds:
       'unet': {param_name: tensor | {'u','v'}} attn2 deltas;
       'modifier_token': {token: [emb_for_encoder1, emb_for_encoder2, ...]};
-      optionally 'text_encoder'/'text_encoder_2' full state dicts (not
-      supported here — raise).
+      optionally 'text_encoder'/'text_encoder_2' full state dicts, applied
+      as whole-encoder replacements BEFORE the modifier-token handling
+      (the reference's load order, :750-752).
 
     Mutates the tokenizers (add_tokens) and returns
     (new_unet_params, new_te_params_list)."""
     import torch
 
     st = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    if "text_encoder" in st:
-        raise NotImplementedError("full text-encoder custom-diffusion checkpoints")
 
     te_params_list = list(te_params_list)
+    if "text_encoder" in st:
+        te_params_list[0] = apply_full_text_encoder(
+            te_params_list[0], st["text_encoder"]
+        )
+        if "text_encoder_2" in st:
+            if len(te_params_list) < 2:
+                raise ValueError(
+                    "checkpoint carries text_encoder_2 but the pipeline has "
+                    "one text encoder (XL checkpoint on an SD1 base?)"
+                )
+            te_params_list[1] = apply_full_text_encoder(
+                te_params_list[1], st["text_encoder_2"]
+            )
     for token, embs in st.get("modifier_token", {}).items():
         for i, tok in enumerate(tokenizers):
             if tok.add_tokens(token) == 0:

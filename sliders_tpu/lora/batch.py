@@ -35,6 +35,14 @@ Rows are exactly independent (per-row multiplier, per-row weights, per-row
 rank divisor), so a coalesced batch is bit-identical to solo runs — pinned
 by tests/test_serving.py and tests/test_lora_batch.py (incl. mixed
 rank-2/rank-4 batches).
+
+Backend caveat on HETEROGENEOUS-rank mixing: the zero rank-padding is an
+exact no-op on TPU, but XLA:CPU codegen may reassociate the adapter einsum
+when the contraction width changes (measured ~1e-6 drift for rank-2 rows
+riding a rank-4 bucket vs their rank-2-bucket solo run). The batch-boundary
+serving engine accepts that drift when mixing rank buckets; the continuous
+engine requires exact bucket equality to keep its bit-parity contract
+(serving/server.py design note).
 """
 
 from __future__ import annotations

@@ -165,6 +165,131 @@ def make_sampling_fn(
     )
 
 
+def make_continuous_step_fn(
+    unet_cfg: unet2d.UNetConfig,
+    sampler: Sampler,
+    *,
+    chunk: int,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the jitted CHUNK program for step-level continuous batching
+    (serving/server.py): one fixed-bucket row batch where every row sits at
+    its OWN step position, advanced `chunk` denoise steps per call.
+
+    fn(unet_params, x, s_state, step_idx, cond_emb, uncond_emb,
+       lora_weights, slider_scale, start_noise, guidance_scale, added_cond)
+      -> (x, s_state)
+
+    - `step_idx` is the per-row (B,) int32 step position at call entry; a
+      row advances while step_idx < num_steps and freezes after (both its
+      latent and its sampler-state column), so finished rows hold their
+      final latents and free slots never move. The caller tracks positions
+      host-side (they advance deterministically by `chunk`), so nothing
+      needs fetching between chunks.
+    - `lora_weights` is a per-row stacked tree (lora/batch.py) or None
+      (slider-less batch — a separate, LoRA-free executable).
+    - Per-row math is identical to make_sampling_fn's loop body with the
+      scalar step index replaced by the per-row gather (same tables, same
+      elementwise ops), which is what makes a row's trajectory bit-equal
+      to the whole-loop program at the same batch size — pinned by
+      tests/test_serving.py.
+
+    Stochastic samplers (ddpm/euler_a) draw one noise tensor per step for
+    the whole batch, so a row's noise would depend on when it joined;
+    they are rejected. The reference loop this segments is
+    generate_images_xl.py:323-362."""
+    if sampler.kind in ("ddpm", "euler_a"):
+        raise NotImplementedError(
+            f"continuous batching does not support the stochastic "
+            f"'{sampler.kind}' sampler (per-step batch-shared noise would "
+            "make a row's output depend on co-riders); use ddim or lms"
+        )
+    n = sampler.num_steps
+
+    def fn(
+        unet_params,
+        x,
+        s_state,
+        step_idx,
+        cond_emb,
+        uncond_emb,
+        lora_weights,
+        slider_scale,
+        start_noise,
+        guidance_scale,
+        added_cond: Optional[dict] = None,
+    ):
+        if use_cfg:
+            ehs = jnp.concatenate([uncond_emb, cond_emb]).astype(compute_dtype)
+            added = (
+                None
+                if added_cond is None
+                else {
+                    k: jnp.concatenate(
+                        [added_cond["uncond_" + k], added_cond[k]]
+                    )
+                    for k in ("text_embeds", "time_ids")
+                }
+            )
+        else:
+            ehs = cond_emb.astype(compute_dtype)
+            added = (
+                None
+                if added_cond is None
+                else {k: added_cond[k] for k in ("text_embeds", "time_ids")}
+            )
+        weights = lora_weights
+        if weights is not None and use_cfg:
+            weights = jax.tree.map(lambda w: jnp.concatenate([w, w]), weights)
+
+        def body(carry, k):
+            x, s_state = carry
+            idx = step_idx + k  # (B,)
+            adv = idx < n
+            i = jnp.clip(idx, 0, n - 1)
+            t = sampler.timesteps[i]  # (B,)
+            lora = None
+            if weights is not None:
+                mult = jnp.where(t > start_noise, 0.0, slider_scale)
+                if use_cfg:
+                    mult = jnp.concatenate([mult, mult])
+                lora = SliderLora(weights=weights, multiplier=mult)
+            x_in = jnp.concatenate([x, x]) if use_cfg else x
+            i_in = jnp.concatenate([i, i]) if use_cfg else i
+            x_in = sampler.scale_model_input(x_in, i_in).astype(compute_dtype)
+            t_in = jnp.concatenate([t, t]) if use_cfg else t
+            eps = unet2d.apply(
+                unet_params, unet_cfg, x_in, t_in, ehs, added_cond=added,
+                lora=lora,
+            )
+            if use_cfg:
+                eps_text = jnp.split(eps, 2, axis=0)[1]
+                eps = cfg_combine(eps, guidance_scale)
+                if guidance_rescale > 0:
+                    eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            x_new, s_new = sampler.step(i, eps, x, s_state)
+            # freeze finished/free rows: latents row-major, sampler-state
+            # leaves history-major ((ORDER, B, ...) — the LMS derivs carry)
+            adv_x = adv.reshape((-1,) + (1,) * (x.ndim - 1))
+            x = jnp.where(adv_x, x_new.astype(compute_dtype), x)
+            s_state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    adv.reshape((1, -1) + (1,) * (new.ndim - 2)), new, old
+                ),
+                s_new, s_state,
+            )
+            return (x, s_state), None
+
+        (x, s_state), _ = jax.lax.scan(
+            body, (x.astype(compute_dtype), s_state), jnp.arange(chunk)
+        )
+        return x, s_state
+
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
 def initial_latents(key, batch, height, width, init_noise_sigma, channels=4, n_prompts=1):
     """train_util.get_initial_latents semantics (train_util.py:43-57):
     noise repeated across prompts, scaled by init_noise_sigma. NHWC."""

@@ -113,6 +113,9 @@ class SliderEngine:
         compute_dtype=None,
         mesh=None,
         buckets=None,
+        continuous: bool = False,
+        continuous_rows: Optional[int] = None,
+        chunk_steps: int = 5,
     ):
         import jax.numpy as jnp
 
@@ -139,13 +142,34 @@ class SliderEngine:
             mesh=mesh,
         )
         self.family = "xl" if models.is_xl else "sd"
+        if continuous:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "continuous batching + dp mesh is not supported yet; "
+                    "use the batch-boundary engine for multi-chip serving"
+                )
+            # raises for stochastic samplers (per-step batch-shared noise)
+            self._cont_fn = t2i.make_continuous_step_fn(
+                models.unet_config,
+                self.sampler,
+                chunk=int(chunk_steps),
+                use_cfg=True,
+                guidance_rescale=0.7 if models.is_xl else 0.0,
+                compute_dtype=self.dtype,
+            )
         self._init_runtime(
             buckets,
             coalesce=self.sampler.kind not in ("ddpm", "euler_a"),
             dp=None if mesh is None else mesh.shape["dp"],
+            continuous=continuous,
+            continuous_rows=continuous_rows,
+            chunk_steps=chunk_steps,
         )
 
-    def _init_runtime(self, buckets, *, coalesce: bool, dp=None) -> None:
+    def _init_runtime(
+        self, buckets, *, coalesce: bool, dp=None,
+        continuous: bool = False, continuous_rows=None, chunk_steps: int = 5,
+    ) -> None:
         """Shared engine runtime: bucket table, registry/device locks, embed
         cache, batching worker. Subclasses call this at the end of their
         __init__ after the sampler/fn are built."""
@@ -193,7 +217,38 @@ class SliderEngine:
         self._closed = False
         self.request_timeout = 3600.0
         self.stats = {"requests": 0, "batches": 0, "rows": 0}
-        _threading.Thread(target=self._worker_loop, daemon=True).start()
+        self._continuous = bool(continuous)
+        if self._continuous:
+            if not coalesce:
+                raise ValueError(
+                    "continuous batching requires a deterministic sampler "
+                    "(coalescing is disabled for ddpm/euler_a)"
+                )
+            self._cont_rows = int(
+                continuous_rows if continuous_rows is not None
+                else self._buckets[-1]
+            )
+            if self._cont_rows < max(self._buckets):
+                # a request is validated against _buckets; every request
+                # must fit the fixed row budget or it could never be served
+                self._buckets = tuple(
+                    b for b in self._buckets if b <= self._cont_rows
+                )
+                if not self._buckets:
+                    raise ValueError(
+                        f"continuous_rows={self._cont_rows} below the "
+                        f"smallest scale bucket"
+                    )
+            self._cont_chunk = int(chunk_steps)
+            if not 1 <= self._cont_chunk <= self.steps:
+                raise ValueError(
+                    f"chunk_steps={chunk_steps} must be in [1, {self.steps}]"
+                )
+            self.stats["chunks"] = 0
+            target = self._continuous_worker_loop
+        else:
+            target = self._worker_loop
+        _threading.Thread(target=target, daemon=True).start()
 
     def close(self) -> None:
         """Stop the batching worker (idempotent). Queued requests finish;
@@ -486,6 +541,338 @@ class SliderEngine:
         )
         return np.asarray(t2i.decode_images(m.vae_params, m.vae_config, x))
 
+    # -- step-level continuous batching -----------------------------------
+    #
+    # The batch-boundary worker above admits requests only between
+    # denoises: an in-flight 50-step 512px denoise (~10 s on one chip)
+    # blocks every newcomer for its full duration, so under overlapping
+    # arrivals the bucket rows spend most of their time underfilled. The
+    # continuous worker (SliderEngine(continuous=True)) instead keeps ONE
+    # fixed row bucket permanently in flight and advances it `chunk_steps`
+    # denoise steps per device call (pipelines/text2image.py
+    # make_continuous_step_fn): every row carries its own step position,
+    # requests JOIN mid-flight at chunk boundaries (a scatter into free
+    # rows + a per-row sampler-state reset, one jitted dispatch) and EXIT
+    # when their 50 steps complete (gather + VAE decode of just the done
+    # rows). Per-row math is independent (per-sample norms/attention,
+    # per-row stacked LoRA), so outputs stay bit-identical to solo runs at
+    # the same bucket size — the vLLM-style continuous-batching economics
+    # applied to the denoise loop the reference runs monolithically
+    # (generate_images_xl.py:323-362).
+    #
+    # Admission compatibility = the same structure signature the
+    # batch-boundary coalescer uses, PLUS exact pow2 rank-bucket equality
+    # per module. Equality (not <=) is deliberate: zero rank-padding is
+    # an exact no-op on TPU, but XLA:CPU codegen reassociates the adapter
+    # einsum when the contraction width changes (measured ~1e-6 drift,
+    # rank-2 rows riding a rank-4 bucket), which would break the
+    # bit-identical-to-solo contract; with equal buckets every request
+    # runs the same program shape its solo run uses. Mismatched-bucket
+    # requests wait for the batch to drain (the boundary engine still
+    # mixes them, lora/batch.py). Sliderless requests form their own
+    # (LoRA-free) batches. Trade-off vs the boundary worker: the bucket
+    # is always computed in full, so an idle engine serving one small
+    # request pays the full-bucket step cost — continuous mode is for
+    # sustained overlapping traffic.
+
+    def _cont_request_rows(self, q: _Pending):
+        """Per-request device inputs: (cond 1-row, uncond 1-row, added
+        1-row dict|None, initial latent (1,h,w,4)) — the exact values the
+        batch-boundary path feeds _run_rows, so trajectories match."""
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_tpu.pipelines import text2image as t2i
+
+        cond, uncond, added = self._encode(q.prompt, q.negative)
+        lat = t2i.initial_latents(
+            jax.random.key(q.seed), 1, self.image_size, self.image_size,
+            self.sampler.init_noise_sigma,
+        ).astype(self.dtype)
+        return cond, uncond, added, lat
+
+    @staticmethod
+    def _cont_rank_buckets(stacked) -> dict:
+        return {name: e["down"].shape[-1] for name, e in stacked.items()}
+
+    def _cont_fresh_state(self, new: list) -> dict:
+        """Build the full bucket state from an admission into an EMPTY
+        batch: rows of the admitted requests in their slots, free slots
+        padded with row values that never advance (step_idx stays at n)."""
+        import jax.numpy as jnp
+
+        from sliders_tpu.lora.batch import stack_sliders
+
+        N = self._cont_rows
+        per_req = {}
+        row_vals: list = [None] * N
+        for slot, q, k in new:
+            if id(q) not in per_req:
+                per_req[id(q)] = self._cont_request_rows(q)
+            row_vals[slot] = (per_req[id(q)], q, k)
+        fill = next(v for v in row_vals if v is not None)
+        row_vals = [v if v is not None else fill for v in row_vals]
+
+        conds = jnp.concatenate([v[0][0] for v in row_vals])
+        unconds = jnp.concatenate([v[0][1] for v in row_vals])
+        added = None
+        if row_vals[0][0][2] is not None:
+            added = {
+                k: jnp.concatenate([v[0][2][k] for v in row_vals])
+                for k in row_vals[0][0][2]
+            }
+        x = jnp.concatenate([v[0][3] for v in row_vals])
+        w = None
+        if new[0][1].weights is not None:
+            w = stack_sliders(
+                [v[1].weights for v in row_vals], round_ranks_pow2=True
+            )
+        scale = jnp.asarray(
+            [v[1].scales[v[2]] for v in row_vals], jnp.float32
+        )
+        sn = jnp.asarray([v[1].start_noise for v in row_vals], jnp.float32)
+        g = jnp.asarray([v[1].guidance for v in row_vals], jnp.float32)
+        return {
+            "x": x, "s": self.sampler.init_state(x), "cond": conds,
+            "uncond": unconds, "added": added, "w": w,
+            "scale": scale, "sn": sn, "g": g,
+        }
+
+    def _cont_join_state(self, state: dict, new: list) -> dict:
+        """Scatter an admission into a LIVE batch (one jitted dispatch):
+        row-major leaves at the joining slots, the sampler-state columns
+        (history-major) reset to zero."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from sliders_tpu.lora.batch import _pad_rank, stack_sliders
+
+        N = self._cont_rows
+        pos = _np.full(N, N, _np.int32)  # sentinel N -> dropped by scatter
+        per_req = {}
+        rows = []
+        for j, (slot, q, k) in enumerate(new):
+            pos[j] = slot
+            if id(q) not in per_req:
+                per_req[id(q)] = self._cont_request_rows(q)
+            rows.append((per_req[id(q)], q, k))
+        rows += [rows[0]] * (N - len(rows))  # padding rows are dropped
+
+        upd = {
+            "x": jnp.concatenate([v[0][3] for v in rows]),
+            "cond": jnp.concatenate([v[0][0] for v in rows]),
+            "uncond": jnp.concatenate([v[0][1] for v in rows]),
+            "scale": jnp.asarray(
+                [v[1].scales[v[2]] for v in rows], jnp.float32
+            ),
+            "sn": jnp.asarray([v[1].start_noise for v in rows], jnp.float32),
+            "g": jnp.asarray([v[1].guidance for v in rows], jnp.float32),
+            "added": None,
+            "w": None,
+        }
+        if state["added"] is not None:
+            upd["added"] = {
+                k: jnp.concatenate([v[0][2][k] for v in rows])
+                for k in state["added"]
+            }
+        if state["w"] is not None:
+            w_new = stack_sliders(
+                [v[1].weights for v in rows], round_ranks_pow2=True
+            )
+            live = self._cont_rank_buckets(state["w"])
+            upd["w"] = {
+                name: {
+                    "down": _pad_rank(e["down"], e["down"].ndim - 1, live[name]),
+                    "up": _pad_rank(e["up"], e["up"].ndim - 2, live[name]),
+                    "alpha": e["alpha"],
+                    "rank": e["rank"],
+                }
+                for name, e in w_new.items()
+            }
+
+        if self._cont_join_fn is None:
+            def join(state, upd, pos):
+                def row_set(old, nw):
+                    return old.at[pos].set(nw.astype(old.dtype), mode="drop")
+
+                out = dict(state)
+                for k in ("x", "cond", "uncond", "scale", "sn", "g",
+                          "added", "w"):
+                    out[k] = jax.tree.map(row_set, state[k], upd[k])
+                # joining rows restart their sampler history (LMS derivs
+                # are history-major: (ORDER, N, ...) -> column scatter)
+                out["s"] = jax.tree.map(
+                    lambda old: old.at[:, pos].set(0.0, mode="drop"),
+                    state["s"],
+                )
+                return out
+
+            self._cont_join_fn = jax.jit(join, donate_argnums=(0,))
+        return self._cont_join_fn(state, upd, jnp.asarray(pos))
+
+    @staticmethod
+    def _cont_req_buckets(q: _Pending) -> Optional[dict]:
+        """pow2 rank bucket per module for a request's adapter (None for
+        sliderless). Pure shape arithmetic — safe under the queue lock."""
+        if q.weights is None:
+            return None
+        from sliders_tpu.lora.batch import _rank_axes
+
+        out = {}
+        for name, entry in q.weights.items():
+            d_ax, _ = _rank_axes(entry)
+            r = entry["down"].shape[d_ax]
+            out[name] = 1 << (r - 1).bit_length()
+        return out
+
+    def _cont_fits(self, q: _Pending, buckets: Optional[dict]) -> bool:
+        """Can `q` ride the batch whose per-module rank buckets are
+        `buckets`? (signature compat is checked by the caller). EXACT
+        equality, not <=: see the continuous-batching design note above."""
+        return self._cont_req_buckets(q) == buckets
+
+    def _cont_decode(self, state: dict, slots: list) -> "np.ndarray":
+        """Decode just the completed rows (gather -> pow2 pad -> VAE)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_tpu.pipelines import text2image as t2i
+
+        if self._cont_decode_fn is None:
+            m = self.models
+
+            def dec(x, idx):
+                return t2i.decode_images(
+                    m.vae_params, m.vae_config, jnp.take(x, idx, axis=0)
+                )
+
+            self._cont_decode_fn = jax.jit(dec)
+        n_done = len(slots)
+        nb = min(1 << (n_done - 1).bit_length(), self._cont_rows)
+        idx = np.full(max(nb, n_done), slots[0], np.int32)
+        idx[:n_done] = slots
+        return np.asarray(
+            self._cont_decode_fn(state["x"], jnp.asarray(idx))
+        )[:n_done]
+
+    def _continuous_worker_loop(self):
+        import jax.numpy as jnp
+
+        N, C, n = self._cont_rows, self._cont_chunk, self.steps
+        self._cont_join_fn = None
+        self._cont_decode_fn = None
+        state: Optional[dict] = None
+        slot_req: list = [None] * N  # slot -> (pending, scale_index)
+        step_idx = np.full(N, n, np.int32)
+        batch_sig = None
+        batch_buckets: Optional[dict] = None  # per-module pow2 rank bucket
+        req_rows: dict = {}  # id(pending) -> (pending, [slots])
+
+        while True:
+            new: list = []
+            with self._queue_cv:
+                busy = any(s is not None for s in slot_req)
+                while not self._queue and not busy:
+                    self._queue_cv.wait()
+                    busy = any(s is not None for s in slot_req)
+                if not busy and self._queue and self._queue[0] is None:
+                    return  # close(): drained, exit
+                free = [j for j in range(N) if slot_req[j] is None]
+                i = 0
+                while i < len(self._queue):
+                    q = self._queue[i]
+                    if q is None:  # close sentinel: drain what's before it
+                        break
+                    if not busy and not new:
+                        # empty batch: the head sets the compat class
+                        batch_sig = q.sig
+                        batch_buckets = self._cont_req_buckets(q)
+                    if (
+                        q.sig == batch_sig
+                        and len(q.scales) <= len(free)
+                        and self._cont_fits(q, batch_buckets)
+                    ):
+                        slots = [free.pop(0) for _ in q.scales]
+                        for k, slot in enumerate(slots):
+                            slot_req[slot] = (q, k)
+                            new.append((slot, q, k))
+                        req_rows[id(q)] = (q, slots)
+                        self._queue.pop(i)
+                    else:
+                        i += 1
+            try:
+                if new:
+                    with self._lock:
+                        if not busy:
+                            state = self._cont_fresh_state(new)
+                        else:
+                            state = self._cont_join_state(state, new)
+                    for slot, q, k in new:
+                        step_idx[slot] = 0
+                    busy = True
+                if not busy:
+                    continue
+                with self._lock:
+                    x, s = self._cont_fn(
+                        self.models.unet_params, state["x"], state["s"],
+                        jnp.asarray(step_idx), state["cond"],
+                        state["uncond"], state["w"], state["scale"],
+                        state["sn"], state["g"], state["added"],
+                    )
+                    state["x"], state["s"] = x, s
+                    self.stats["chunks"] += 1
+                occupied = np.asarray(
+                    [s is not None for s in slot_req], bool
+                )
+                step_idx = np.where(
+                    occupied, np.minimum(step_idx + C, n), step_idx
+                ).astype(np.int32)
+                done = [
+                    j for j in range(N)
+                    if slot_req[j] is not None and step_idx[j] >= n
+                ]
+                if not done:
+                    continue
+                with self._lock:
+                    imgs = self._cont_decode(state, done)
+                    self.stats["batches"] += 1
+                img_of = {slot: imgs[i] for i, slot in enumerate(done)}
+                finished = {}
+                for slot in done:
+                    q, k = slot_req[slot]
+                    finished.setdefault(id(q), q)
+                from PIL import Image
+
+                for qid, q in finished.items():
+                    _, slots = req_rows.pop(qid)
+                    out = []
+                    for k, slot in enumerate(slots):
+                        buf = io.BytesIO()
+                        Image.fromarray(img_of[slot]).save(buf, format="PNG")
+                        out.append((q.scales[k], buf.getvalue()))
+                        slot_req[slot] = None
+                        step_idx[slot] = n
+                    q.result = out
+                    self.stats["requests"] += 1
+                    self.stats["rows"] += len(slots)
+                    q.event.set()
+            except BaseException as e:
+                # device failure mid-flight: fail every slotted request and
+                # reset the batch (their latents are unrecoverable)
+                failed = {}
+                for j in range(N):
+                    if slot_req[j] is not None:
+                        q, _ = slot_req[j]
+                        failed[id(q)] = q
+                        slot_req[j] = None
+                        step_idx[j] = n
+                req_rows.clear()
+                state = None
+                for q in failed.values():
+                    q.error = e
+                    q.event.set()
+
     def warmup(
         self,
         with_slider: Optional[str] = None,
@@ -515,6 +902,34 @@ class SliderEngine:
         self.generate("warmup", seed=0, slider=with_slider,
                       scales=[0.0] * n_scales)
         if not multi_tenant:
+            return
+        if self._continuous:
+            # warm the mid-flight JOIN path (scatter admit): start one
+            # request, wait until its batch is actually advancing, then
+            # enqueue a second that must join the live batch
+            p1 = self._make_pending("warmup", seed=0, slider=with_slider,
+                                    scales=[0.0])
+            chunks0 = self.stats["chunks"]
+            with self._queue_cv:
+                if self._closed:
+                    raise RuntimeError("engine is closed")
+                self._queue.append(p1)
+                self._queue_cv.notify()
+            deadline = time.monotonic() + self.request_timeout
+            while self.stats["chunks"] == chunks0 and not p1.event.is_set():
+                if time.monotonic() > deadline:
+                    raise TimeoutError("continuous warmup: batch never started")
+                time.sleep(0.01)
+            p2 = self._make_pending("warmup", seed=1, slider=with_slider,
+                                    scales=[0.0])
+            with self._queue_cv:
+                self._queue.append(p2)
+                self._queue_cv.notify()
+            for p in (p1, p2):
+                if not p.event.wait(timeout=self.request_timeout):
+                    raise TimeoutError("continuous warmup timed out")
+                if p.error is not None:
+                    raise p.error
             return
         # two queued requests whose weight trees are distinct OBJECTS (a
         # shallow copy suffices — coalescing keys on structure, stacking

@@ -175,6 +175,107 @@ def test_custom_diffusion_full_load(xl_snapshot, tmp_path):
         load_custom_diffusion(str(ckpt), m.unet_params, toks, new_tes)
 
 
+def test_custom_diffusion_full_text_encoder(xl_snapshot, tmp_path):
+    """Full text_encoder/text_encoder_2 state dicts in the delta checkpoint
+    replace BOTH encoders wholesale (the reference's load_state_dict path,
+    generate_images_customdiffusion.py:750-752), composing with modifier
+    tokens, and flow through the CLI end-to-end."""
+    import torch
+
+    from sliders_tpu.evals.baselines import load_custom_diffusion
+    from sliders_tpu.models import loader
+    from sliders_tpu.models.convert import to_torch_layout
+    from sliders_tpu.utils import pytree
+
+    m = loader.load_sdxl(xl_snapshot, dtype=jnp.float32)
+    toks = [te.tokenizer for te in m.text_encoders]
+    tes = [te.params for te in m.text_encoders]
+
+    def torch_state(tree, scale):
+        return {
+            k: torch.from_numpy(np.asarray(v).copy() * scale)
+            for k, v in to_torch_layout(tree).items()
+        }
+
+    d1 = np.asarray(
+        pytree.flatten(tes[0])["text_model.embeddings.token_embedding.weight"]
+    ).shape[1]
+    d2 = np.asarray(
+        pytree.flatten(tes[1])["text_model.embeddings.token_embedding.weight"]
+    ).shape[1]
+    delta = {
+        "text_encoder": torch_state(tes[0], 1.5),
+        "text_encoder_2": torch_state(tes[1], 0.5),
+        "modifier_token": {
+            "<sks>": [torch.full((d1,), 0.25), torch.full((d2,), 0.5)]
+        },
+    }
+    ckpt = tmp_path / "cd_full_te.pt"
+    torch.save(delta, ckpt)
+
+    _, new_tes = load_custom_diffusion(str(ckpt), m.unet_params, toks, tes)
+    for i, (te_old, te_new, scale) in enumerate(
+        zip(tes, new_tes, (1.5, 0.5))
+    ):
+        old_flat = pytree.flatten(te_old)
+        new_flat = pytree.flatten(te_new)
+        k = next(k for k in old_flat if k.endswith("q_proj.weight"))
+        np.testing.assert_allclose(
+            np.asarray(new_flat[k]), scale * np.asarray(old_flat[k]), rtol=1e-6,
+            err_msg=f"encoder {i} not replaced by the checkpoint state",
+        )
+        # modifier token applied ON TOP of the swapped encoder
+        tid = toks[i].convert_tokens_to_ids("<sks>")
+        emb = new_flat["text_model.embeddings.token_embedding.weight"]
+        np.testing.assert_allclose(
+            np.asarray(emb[tid]), 0.25 if i == 0 else 0.5, rtol=1e-6
+        )
+
+    # strictness: a state dict missing params raises like torch's strict load
+    bad = dict(delta)
+    bad["text_encoder"] = {
+        k: v for j, (k, v) in enumerate(delta["text_encoder"].items()) if j > 0
+    }
+    bad_ckpt = tmp_path / "cd_bad.pt"
+    torch.save(bad, bad_ckpt)
+    with pytest.raises(KeyError, match="missing"):
+        load_custom_diffusion(
+            str(bad_ckpt), m.unet_params,
+            [te.tokenizer for te in loader.load_sdxl(xl_snapshot, dtype=jnp.float32).text_encoders],
+            tes,
+        )
+
+    # CLI end-to-end with the full-TE checkpoint
+    import pandas as pd
+
+    from sliders_tpu.cli.generate_images_custom_diffusion import (
+        build_parser,
+        main,
+    )
+
+    csv = tmp_path / "prompts.csv"
+    pd.DataFrame(
+        {"case_number": [0], "prompt": ["photo"], "evaluation_seed": [3]}
+    ).to_csv(csv, index=False)
+    out = tmp_path / "out"
+    args = build_parser().parse_args(
+        [
+            "--model_name", str(ckpt),
+            "--token", "<sks>",
+            "--base", xl_snapshot,
+            "--prompts_path", str(csv),
+            "--save_path", str(out),
+            "--ddim_steps", "2",
+            "--image_size", "64",
+            "--num_samples", "1",
+            "--precision", "float32",
+        ]
+    )
+    main(args)
+    run = next(out.iterdir())
+    assert any(p.suffix == ".png" for p in run.iterdir())
+
+
 def test_custom_diffusion_compressed_deltas(xl_snapshot, tmp_path):
     import torch
 
