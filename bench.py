@@ -33,8 +33,29 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: the SD1.5 train-step compile costs minutes
-# through the remote-compile tunnel; cache it across bench runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sliders_bench")
+# through the remote-compile tunnel; cache it across bench runs.
+# PER-PLATFORM dirs: XLA:CPU entries embed host AOT machine features, so a
+# cache written on one VM loads with wrong codegen on another (observed:
+# "+prefer-no-scatter not supported on the host machine" + ~1e-6 numeric
+# drift). TPU entries are compiled by the remote server and stay portable;
+# CPU smokes must never share their dir.
+if jax.default_backend() != "cpu":
+    _cache_dir = "/tmp/jax_cache_sliders_bench"
+else:
+    # fingerprint the host CPU: /tmp can outlive the VM, and another VM's
+    # AOT entries must miss rather than load with mismatched codegen
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next(
+                (ln for ln in _f if ln.startswith("flags")), "unknown"
+            )
+    except OSError:
+        _flags = "unknown"
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+    _cache_dir = f"/tmp/jax_cache_sliders_bench_cpu_{_fp}"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 NORTH_STAR_MINUTES = 10.0  # BASELINE.json: <10 min per 1000-iter run

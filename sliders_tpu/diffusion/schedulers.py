@@ -164,13 +164,18 @@ class Sampler:
 
     # ---- one reverse step ----
 
-    def step(self, i, model_out: jax.Array, x: jax.Array, state: dict, key=None):
+    def step(self, i, model_out: jax.Array, x: jax.Array, state: dict,
+             key=None, noise=None):
+        """`noise` overrides the ancestral draw (ddpm/euler_a): callers that
+        need a finer-grained stream than one-key-per-call (the fleet's
+        per-row solo streams, training/fleet.py) pass the x-shaped tensor
+        directly; with noise=None the draw from `key` is unchanged."""
         if self.kind == "ddim":
             return self._ddim_step(i, model_out, x), state
         if self.kind == "ddpm":
-            return self._ddpm_step(i, model_out, x, key), state
+            return self._ddpm_step(i, model_out, x, key, noise), state
         if self.kind == "euler_a":
-            return self._euler_a_step(i, model_out, x, key), state
+            return self._euler_a_step(i, model_out, x, key, noise), state
         if self.kind == "lms":
             return self._lms_step(i, model_out, x, state)
         raise ValueError(f"unknown sampler kind {self.kind}")
@@ -192,7 +197,7 @@ class Sampler:
         acp_prev = _bcast(self.alpha_prod_prev[i], x)
         return jnp.sqrt(acp_prev) * x0 + jnp.sqrt(1.0 - acp_prev) * eps
 
-    def _ddpm_step(self, i, model_out, x, key):
+    def _ddpm_step(self, i, model_out, x, key, noise=None):
         # diffusers DDPMScheduler.step, variance_type="fixed_small"
         eps, x0 = self._pred_eps_x0_alpha(i, model_out, x)
         acp = _bcast(self.alpha_prod[i], x)
@@ -202,9 +207,12 @@ class Sampler:
         coef_x0 = jnp.sqrt(acp_prev) * beta_t / (1.0 - acp)
         coef_xt = jnp.sqrt(alpha_t) * (1.0 - acp_prev) / (1.0 - acp)
         mean = coef_x0 * x0 + coef_xt * x
-        if key is None:
-            raise ValueError("ddpm step needs an rng key")
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            if key is None:
+                raise ValueError("ddpm step needs an rng key or noise")
+            noise = jax.random.normal(key, x.shape, x.dtype)
+        else:
+            noise = noise.astype(x.dtype)
         var = _bcast(self.ddpm_variance[i], x)
         is_last = self.timesteps[i] <= 0
         return mean + jnp.where(is_last, 0.0, jnp.sqrt(var)) * noise
@@ -218,7 +226,7 @@ class Sampler:
         deriv = (x - x0) / sigma
         return deriv, x0
 
-    def _euler_a_step(self, i, model_out, x, key):
+    def _euler_a_step(self, i, model_out, x, key, noise=None):
         sigma_from = _bcast(self.sigmas[i], x)
         sigma_to = _bcast(self.sigmas[i + 1], x)
         deriv, _ = self._sigma_eps_x0(i, model_out, x)
@@ -226,9 +234,12 @@ class Sampler:
         sigma_up = jnp.sqrt(sigma_up2)
         sigma_down = jnp.sqrt(sigma_to**2 - sigma_up2)
         x = x + deriv * (sigma_down - sigma_from)
-        if key is None:
-            raise ValueError("euler_a step needs an rng key")
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        if noise is None:
+            if key is None:
+                raise ValueError("euler_a step needs an rng key or noise")
+            noise = jax.random.normal(key, x.shape, x.dtype)
+        else:
+            noise = noise.astype(x.dtype)
         return x + noise * sigma_up
 
     def _lms_step(self, i, model_out, x, state):

@@ -39,10 +39,14 @@ needs one trip count), costing E[max of K uniforms] ≈ 50·K/(K+1)
 iterations instead of E ≈ 25. Both contracts are pinned by
 tests/test_fleet.py.
 
-Supported samplers: ddim / lms (stateless or row-separable carry). The
-ancestral samplers (ddpm / euler_a) draw one noise tensor per *call* from
-a shared key (schedulers.py:164-170), which has no per-row solo-equivalent
-stream; training with them raises NotImplementedError.
+Supported samplers: all four. ddim / lms are deterministic (stateless or
+row-separable carry); the ancestral samplers (ddpm / euler_a) get a
+PER-ROW noise stream — the solo step draws normal(fold_in(k_anc, i)) once
+per call (schedulers.py one-key API), and the fleet reproduces row r's
+exact draw by vmapping that fold over the per-row k_anc keys and passing
+the stacked tensor through `Sampler.step(..., noise=)`; frozen rows'
+draws are discarded by the freeze mask, so parity with solo runs holds
+for every sampler (tests/test_fleet.py ancestral parity test).
 
 Optimizers: per-row independence holds for element-local transforms
 (adam/adamw/lion — the reference default is adamw, train_util.py:336-404).
@@ -272,12 +276,7 @@ def make_fleet_text_step(
         raise ValueError(
             f"t_to_strata={t_to_strata} must be in [1, {max_denoising_steps - 1}]"
         )
-    if sampler.kind in ("ddpm", "euler_a"):
-        raise NotImplementedError(
-            f"fleet training does not support the ancestral '{sampler.kind}' "
-            "sampler (per-call shared noise has no per-row solo stream); "
-            "use ddim or lms"
-        )
+    needs_step_noise = sampler.kind in ("ddpm", "euler_a")
     if optimizer_name.lower().replace("8bit", "").rstrip("_") in (
         "prodigy", "dadaptadam", "dadaptadamw", "dadaptlion",
     ):
@@ -378,7 +377,7 @@ def make_fleet_text_step(
             lambda r: jax.random.fold_in(jax.random.fold_in(state.key, r), state.step)
         )(rows)
         ks = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # (K, 5)
-        k_pair, k_t, k_lat, _k_anc, k_crop = (ks[:, j] for j in range(5))
+        k_pair, k_t, k_lat, k_anc, k_crop = (ks[:, j] for j in range(5))
 
         n_pairs = pairs["n_pairs"]
         embeds = {k: v for k, v in pairs.items() if k != "n_pairs"}
@@ -432,7 +431,20 @@ def make_fleet_text_step(
             )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + denoise_guidance * (eps_c - eps_u)
-            x_new, s_new = sampler.step(i, eps_g, x, s_state)
+            noise = None
+            if needs_step_noise:
+                # per-row ancestral stream: row r's draw is EXACTLY the solo
+                # run's normal(fold_in(k_anc, i), (B,h,w,c), x.dtype) — the
+                # one-key-per-call sampler API is bypassed via the `noise`
+                # override (schedulers.Sampler.step)
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i),
+                        (B, latent_h, latent_w, unet_cfg.in_channels),
+                        x.dtype,
+                    )
+                )(k_anc).reshape(KB, latent_h, latent_w, unet_cfg.in_channels)
+            x_new, s_new = sampler.step(i, eps_g, x, s_state, noise=noise)
             active = i < t_to  # (K,) rows still denoising
             x_new, s_new = freeze_rows(
                 (x_new.astype(compute_dtype), s_new), (x, s_state), active
@@ -725,7 +737,7 @@ def train_fleet(
 
     Fleet constraints vs the solo driver (training/driver.py): one static
     resolution/batch bucket across all sliders (rows share the compiled
-    step), no dynamic_resolution, ddim/lms sampler, element-local optimizer.
+    step), no dynamic_resolution, element-local optimizer.
     Each slider is saved as `{name}_last.{ext}` plus periodic
     `{name}_{i}steps.{ext}`, exactly the solo artifact format."""
     import json

@@ -32,8 +32,22 @@ except Exception:
 
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
-# persistent compilation cache: the suite is dominated by XLA CPU compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_sliders_tests")
+# persistent compilation cache: the suite is dominated by XLA CPU compiles.
+# Keyed by a host-CPU fingerprint: /tmp can outlive the VM, and XLA:CPU AOT
+# entries written on a different host load with mismatched codegen
+# ("+prefer-no-scatter not supported..." + ~1e-6 numeric drift that broke a
+# bit-parity test in round 5) instead of missing cleanly.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "unknown")
+except OSError:
+    _flags = "unknown"
+_fp = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_cache_sliders_tests_{_fp}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 

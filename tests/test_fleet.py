@@ -195,15 +195,10 @@ def test_generate_cli_fleet_arg_guards(tmp_path):
         main(args)
 
 
-def test_fleet_rejects_ancestral_sampler_and_global_optimizers():
+def test_fleet_rejects_global_optimizers():
     schedule = make_schedule()
     lr = opt_factory.make_lr_schedule("constant", 1e-4, 10)
     opt = opt_factory.make_optimizer("adamw", lr)
-    with pytest.raises(NotImplementedError, match="ancestral"):
-        make_fleet_text_step(
-            unet2d.TINY, schedule, make_sampler(schedule, "ddpm", 10), opt,
-            n_sliders=2,
-        )
     with pytest.raises(NotImplementedError, match="couple fleet rows"):
         make_fleet_text_step(
             unet2d.TINY, schedule, make_sampler(schedule, "ddim", 10), opt,
@@ -354,6 +349,55 @@ def test_fleet_lms_k4_rows_match_solo_runs():
                 float(m["loss"]), float(fleet_ms[i]["loss"][r]), rtol=1e-5,
                 err_msg=f"row {r} step {i} lms loss diverged from solo",
             )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["ddpm", "euler_a"])
+def test_fleet_ancestral_rows_match_solo_runs(kind):
+    """Ancestral samplers in the fleet: row r reproduces the solo run's
+    per-step noise stream exactly (the vmapped fold_in(k_anc, i) draws
+    passed through Sampler.step's noise override)."""
+    cfg = unet2d.TINY
+    unet_params = unet2d.init_params(jax.random.key(0), cfg)
+    schedule = make_schedule()
+    sampler = make_sampler(schedule, kind, num_steps=10)
+    lr_sched = opt_factory.make_lr_schedule("constant", 1e-4, 100)
+    fleet_key = jax.random.key(9)
+    K = 2
+    loras = _make_loras(unet_params, K, jax.random.key(6))
+    pair_sets = [
+        _make_pairs(jax.random.key(40 + r), n_pairs=2, gs=3.0) for r in range(K)
+    ]
+
+    def mk_opt(tree):
+        return opt_factory.make_optimizer(
+            "adamw", lr_sched, trainable_mask=lnet.trainable_mask(tree)
+        )
+
+    fleet = stack_fleet(loras)
+    optimizer = mk_opt(fleet)
+    kw = dict(
+        max_denoising_steps=10, resolution=128, batch_size=1,
+        compute_dtype=jnp.float32, remat=False, donate=False,
+    )
+    step = make_fleet_text_step(
+        cfg, schedule, sampler, optimizer, n_sliders=K, **kw
+    )
+    state = SliderTrainState.create(fleet_key, fleet, optimizer)
+    state, m = step(state, unet_params, stack_fleet_pairs(pair_sets))
+
+    for r in range(K):
+        solo_opt = mk_opt(loras[r])
+        solo_step = make_text_slider_step(cfg, schedule, sampler, solo_opt, **kw)
+        solo_state = SliderTrainState.create(
+            jax.random.fold_in(fleet_key, r), loras[r], solo_opt
+        )
+        solo_state, sm = solo_step(solo_state, unet_params, pair_sets[r])
+        assert int(sm["t_to"]) == int(m["t_to"][r])
+        np.testing.assert_allclose(
+            float(sm["loss"]), float(m["loss"][r]), rtol=1e-5,
+            err_msg=f"{kind} row {r} loss diverged from solo",
+        )
 
 
 @pytest.mark.slow

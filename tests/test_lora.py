@@ -162,3 +162,129 @@ def test_trainable_mask(tiny_net):
     )
     m = next(iter(mask.values()))
     assert m["down"] and m["up"] and not m["alpha"]
+
+
+# ---------------------------------------------------------------------------
+# reference-side interop: state dicts built WITHOUT lora/io.py's writer
+# ---------------------------------------------------------------------------
+
+# literal reference key strings + torch layouts transcribed from the
+# reference's LoRAModule/save_weights (lora.py:70-96,206-207,231-248) —
+# deliberately NOT derived through lio.to_reference_state_dict, so this
+# pins the interop contract from the OTHER side (VERDICT r4 item 7)
+_REF_ENTRIES = {
+    "lora_unet_mid_block_attentions_0_transformer_blocks_0_attn1_to_q":
+        ("mid_block.attentions.0.transformer_blocks.0.attn1.to_q",
+         "linear", 64, 64, None),
+    "lora_unet_mid_block_attentions_0_transformer_blocks_0_attn2_to_k":
+        ("mid_block.attentions.0.transformer_blocks.0.attn2.to_k",
+         "linear", 32, 64, None),
+    "lora_unet_mid_block_resnets_0_conv1":
+        ("mid_block.resnets.0.conv1", "conv", 64, 64, 3),
+    "lora_unet_up_blocks_0_resnets_0_conv_shortcut":
+        ("up_blocks.0.resnets.0.conv_shortcut", "conv", 128, 64, 1),
+}
+_REF_RANK = 2
+
+
+def _hand_built_reference_state(seed=1234, dtype=None):
+    """torch state dict in the reference's exact save format, hand-built:
+    keys `lora_unet_<path with dots->underscores>.{lora_down.weight,
+    lora_up.weight,alpha}`, linear down (rank, in) / up (out, rank),
+    conv down OIHW (rank, in, k, k) / up (out, rank, 1, 1), alpha a
+    scalar tensor."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    dt = dtype or torch.float16
+    state = {}
+    for flat, (_, kind, c_in, c_out, k) in _REF_ENTRIES.items():
+        if kind == "linear":
+            down = rng.normal(size=(_REF_RANK, c_in), scale=0.2)
+            up = rng.normal(size=(c_out, _REF_RANK), scale=0.2)
+        else:
+            down = rng.normal(size=(_REF_RANK, c_in, k, k), scale=0.2)
+            up = rng.normal(size=(c_out, _REF_RANK, 1, 1), scale=0.2)
+        state[f"{flat}.lora_down.weight"] = torch.from_numpy(
+            down.astype(np.float32)).to(dt)
+        state[f"{flat}.lora_up.weight"] = torch.from_numpy(
+            up.astype(np.float32)).to(dt)
+        state[f"{flat}.alpha"] = torch.tensor(1.0, dtype=dt)
+    return state
+
+
+def _assert_loaded_matches_hand_built(loaded, state):
+    import torch
+
+    assert set(loaded) == {p for p, *_ in _REF_ENTRIES.values()} | set()
+    for flat, (path, kind, *_rest) in _REF_ENTRIES.items():
+        w = loaded[path]
+        down_t = state[f"{flat}.lora_down.weight"].float().numpy()
+        up_t = state[f"{flat}.lora_up.weight"].float().numpy()
+        if kind == "linear":
+            np.testing.assert_array_equal(np.asarray(w["down"]), down_t.T)
+            np.testing.assert_array_equal(np.asarray(w["up"]), up_t.T)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(w["down"]), down_t.transpose(2, 3, 1, 0))
+            np.testing.assert_array_equal(
+                np.asarray(w["up"]), up_t.transpose(2, 3, 1, 0))
+        assert float(w["alpha"]) == 1.0
+
+
+def test_hand_built_reference_checkpoint_loads_and_samples(tmp_path):
+    """A .pt hand-built in the reference's save format (no lora/io.py
+    writer involved) loads into the right modules with the right layouts
+    and actually steers sampling."""
+    torch = pytest.importorskip("torch")
+    from sliders_tpu.diffusion import make_sampler, make_schedule
+    from sliders_tpu.pipelines import text2image as t2i
+
+    params = unet2d.init_params(jax.random.key(0), unet2d.TINY)
+    state = _hand_built_reference_state()
+    f = str(tmp_path / "hand_built.pt")
+    torch.save(state, f)
+    loaded = lio.load_slider(f, params)
+    _assert_loaded_matches_hand_built(loaded, state)
+
+    # the adapter steers sampling (scale 1 != scale 0 latents), and loading
+    # the safetensors flavor of the same state gives identical weights
+    sampler = make_sampler(make_schedule(), "ddim", 3)
+    fn = t2i.make_sampling_fn(unet2d.TINY, sampler, compute_dtype=jnp.float32)
+    cond = jax.random.normal(jax.random.key(1), (1, 7, 32))
+    uncond = jnp.zeros_like(cond)
+    lats = t2i.initial_latents(jax.random.key(2), 1, 64, 64,
+                               sampler.init_noise_sigma)
+    outs = {}
+    for s in (0.0, 1.0):
+        outs[s] = np.asarray(fn(
+            params, lats, cond, uncond, loaded, jnp.asarray(s),
+            jnp.asarray(1000.0), jnp.asarray(7.5), jax.random.key(3),
+        ))
+    assert np.abs(outs[0.0] - outs[1.0]).max() > 0
+
+    from safetensors.numpy import save_file
+
+    st_f = str(tmp_path / "hand_built.safetensors")
+    save_file({k: v.float().numpy() for k, v in state.items()}, st_f)
+    loaded_st = lio.load_slider(st_f, params)
+    for m in loaded:
+        for k in ("down", "up", "alpha"):
+            np.testing.assert_array_equal(
+                np.asarray(loaded[m][k]), np.asarray(loaded_st[m][k]))
+
+
+def test_committed_reference_fixture_loads():
+    """The committed fixture (tests/fixtures/reference_slider_tiny.pt,
+    generated once by _hand_built_reference_state(seed=1234)) keeps loading
+    byte-exactly — guards the loader against drift even if the hand-builder
+    above is ever edited."""
+    import os
+
+    torch = pytest.importorskip("torch")
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "reference_slider_tiny.pt")
+    assert os.path.exists(fix), "run tests/gen_reference_fixture.py"
+    params = unet2d.init_params(jax.random.key(0), unet2d.TINY)
+    loaded = lio.load_slider(fix, params)
+    _assert_loaded_matches_hand_built(loaded, _hand_built_reference_state())

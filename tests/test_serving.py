@@ -157,6 +157,94 @@ def test_composition_and_errors(served):
     assert status == 400 and "at most" in err["error"]
 
 
+_NEGATIVE_BODIES = [
+    # (path, raw_or_dict, expected_status, error_substring)
+    ("/generate", b"", 400, "prompt"),  # empty body parses as {}
+    ("/generate", b"[1,2,3]", 400, "object"),
+    ("/generate", b'"prompt"', 400, "object"),
+    ("/generate", b"\xff\xfe\x00bad", 400, "bad json"),
+    ("/generate", {"prompt": "x", "scales": "abc"}, 400, None),
+    ("/generate", {"prompt": "x", "scales": {"a": 1}}, 400, None),
+    ("/generate", {"prompt": "x", "scales": [[1.0]]}, 400, None),
+    ("/generate", {"prompt": "x", "seed": "not-an-int"}, 400, None),
+    ("/generate", {"prompt": "x", "guidance_scale": "hot"}, 400, None),
+    ("/generate", {"prompt": "x", "start_noise": "early"}, 400, None),
+    ("/generate", {"prompt": "x", "scales": list(range(99))}, 400, "at most"),
+    ("/generate", {"prompt": "x", "slider": "never-loaded"}, 404, "never-loaded"),
+    ("/sliders", {"name": "x", "path": "/nonexistent/ckpt.pt"}, 400, None),
+    ("/sliders", {"name": "x", "compose": [{"scale": 1.0}]}, 400, "name"),
+    ("/sliders", {"name": "x", "compose": [{"name": "ghost"}]}, 404, "ghost"),
+    ("/sliders", b"{bad", 400, "bad json"),
+]
+
+
+@pytest.mark.parametrize("path,body,want_status,want_sub", _NEGATIVE_BODIES)
+def test_http_negative_paths(served, path, body, want_status, want_sub):
+    """Table-driven hostile-input sweep: every malformed body gets a clean
+    JSON error with the right status — never a dropped connection, never a
+    500 for a client mistake, and never device work."""
+    _, port, _ = served
+    if isinstance(body, bytes):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", path, body=body)
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        status = resp.status
+    else:
+        status, out = _req(port, "POST", path, body)
+    assert status == want_status, (body, status, out)
+    assert "error" in out
+    if want_sub:
+        assert want_sub in out["error"], (body, out)
+
+
+def test_concurrent_load_slider_vs_generate(served):
+    """Hot-swapping a slider registry entry while /generate traffic is in
+    flight must never corrupt a response: every request is served 200 with
+    the right image count (the registry lock is split from the device
+    lock, so loads never wait behind a denoise and vice versa)."""
+    engine, port, ckpts = served
+    engine.load_slider("hot", ckpts[0])
+
+    errs = []
+    results = []
+    stop = threading.Event()
+
+    def swapper():
+        i = 0
+        while not stop.is_set():
+            try:
+                engine.load_slider("hot", ckpts[i % 2])
+            except Exception as e:
+                errs.append(e)
+                return
+            i += 1
+
+    def requester(seed):
+        try:
+            status, out = _req(
+                port, "POST", "/generate",
+                {"prompt": "photo", "seed": seed, "slider": "hot",
+                 "scales": [-1.0, 1.0]},
+            )
+            results.append((status, len(out.get("images", []))))
+        except Exception as e:
+            errs.append(e)
+
+    sw = threading.Thread(target=swapper)
+    reqs = [threading.Thread(target=requester, args=(i,)) for i in range(4)]
+    sw.start()
+    for t in reqs:
+        t.start()
+    for t in reqs:
+        t.join()
+    stop.set()
+    sw.join()
+    assert not errs, errs
+    assert all(s == 200 and n == 2 for s, n in results), results
+
+
 def test_dynamic_batching_coalesces_and_matches_solo(served):
     """Compatible queued requests run as ONE batched denoise and each gets
     exactly the images a solo run produces (per-row math is independent;
