@@ -26,6 +26,7 @@ Timing uses chained steps ending in a HOST FETCH of the final loss —
 """
 
 import json
+import os
 import sys
 import time
 
@@ -148,8 +149,54 @@ def train_iter_flops(cfg, *, resolution=512, batch=1, is_xl=False) -> float:
             added_cond=a,
         )
 
-    lowered = jax.jit(fwd).lower(params_shape, x, ehs, added)
-    f1 = float(lowered.cost_analysis()["flops"])
+    # Lowered cost_analysis() returns None in this jax version (and always
+    # did through the axon tunnel); the COMPILED executable's analysis is
+    # reliable. Compile on the CPU backend (flop count is backend-agnostic)
+    # — minutes cold on this 1-core host, then served from the persistent
+    # compile cache. None (no CPU backend / analysis absent) just drops the
+    # MFU field from the bench line.
+    def _flops(ca):
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return float(ca["flops"]) if ca and ca.get("flops") else None
+
+    def _debug(where):
+        if os.environ.get("BENCH_DEBUG"):
+            import traceback
+
+            print(f"train_iter_flops: {where} failed", file=sys.stderr)
+            traceback.print_exc()
+
+    # Pin XLA attention for the WHOLE probe: (a) it carries the softmax
+    # matmul flops we want counted (the Pallas custom call reports none),
+    # (b) the trace is shared between the two lowering attempts below, so a
+    # Pallas op baked in by the first would break the CPU fallback.
+    from sliders_tpu.ops import attention as attn_ops
+
+    prev = attn_ops._DEFAULT_IMPL
+    attn_ops.set_default_attention_impl("xla")
+    f1 = None
+    try:
+        try:  # cheap: no compile. Never compile on the default (remote) backend.
+            f1 = _flops(
+                jax.jit(fwd).lower(params_shape, x, ehs, added).cost_analysis()
+            )
+        except Exception:
+            _debug("default-backend lowering")
+        if f1 is None:
+            try:
+                lowered = jax.jit(fwd, backend="cpu").lower(
+                    params_shape, x, ehs, added
+                )
+                f1 = _flops(lowered.cost_analysis())
+                if f1 is None:
+                    f1 = _flops(lowered.compile().cost_analysis())
+            except Exception:
+                _debug("cpu fallback")
+    finally:
+        attn_ops.set_default_attention_impl(prev)
+    if f1 is None:
+        return None
     return f1 * batch * (2 * 25 + 3 + 2)
 
 
